@@ -1,0 +1,126 @@
+"""Branchless texturing / emission / skybox / normal mapping.
+
+TPU-native recast of `Material::{texture, sphere_texture, emit, get_normal}`
+(`/root/reference/src/Material.cpp:13-130`) and `Scene::skyboxTexture`
+(`Scene.h:149-161`): the C++ switch dispatch becomes masked selects over a
+gathered material row, and texel fetch is a differentiable gather into the
+flat atlas — texels are trainable parameters.
+
+All functions take per-ray gathered material fields (shape [N] / [N,3]).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from tracer.core.mathutils import normalize, trunc_mod2, cpp_fmod
+
+TEX_NONE = 0
+TEX_CHECKERBOARD = 1
+TEX_IMAGE = 2
+
+
+def _atlas_fetch(data, off, w, h, slot, u, v, scale_x, scale_y):
+    """Nearest-texel fetch replicating Material.cpp:82-88:
+    u' = fmod(u*sx, 1), v' = 1 - fmod(v*sy, 1), x = int(u'*(w-1)),
+    y = int(v'*(h-1)), index = y*w + x. Returns (rgb [N,3], present [N])."""
+    W = w[slot]
+    H = h[slot]
+    present = (W > 0) & (H > 0)
+    uu = cpp_fmod(u * scale_x, 1.0)
+    vv = 1.0 - cpp_fmod(v * scale_y, 1.0)
+    x = jnp.trunc(uu * (W - 1).astype(jnp.float32)).astype(jnp.int32)
+    y = jnp.trunc(vv * (H - 1).astype(jnp.float32)).astype(jnp.int32)
+    x = jnp.clip(x, 0, jnp.maximum(W - 1, 0))
+    y = jnp.clip(y, 0, jnp.maximum(H - 1, 0))
+    idx = off[slot] + y * W + x
+    idx = jnp.clip(idx, 0, data.shape[0] - 1)
+    return data[idx], present
+
+
+def _magenta_checker(u, v):
+    """Missing-image fallback (Material.cpp:74-81): 8x8 black/magenta."""
+    same = trunc_mod2(u * 8.0) == trunc_mod2(v * 8.0)
+    black = jnp.zeros(3, jnp.float32)
+    magenta = jnp.array([1.0, 0.0, 1.0], jnp.float32)
+    return jnp.where(same[:, None], black[None, :], magenta[None, :])
+
+
+def texture_color(scene, mid, u, v, base):
+    """Material::texture (Material.cpp:63-92): returns the diffuse color
+    after texturing — `base` (the material diffuse) when TEX_NONE."""
+    textype = scene.mat_textype[mid]
+    sx = scene.mat_texscale[mid, 0]
+    sy = scene.mat_texscale[mid, 1]
+    # checkerboard (Material.cpp:66-72)
+    same = trunc_mod2(u * sx) == trunc_mod2(v * sy)
+    checker = jnp.where(same[:, None], scene.mat_check1[mid],
+                        scene.mat_check2[mid])
+    # image
+    slot = scene.mat_tex[mid]
+    img, present = _atlas_fetch(scene.tex_data, scene.tex_off, scene.tex_w,
+                                scene.tex_h, slot, u, v, sx, sy)
+    img = jnp.where(present[:, None], img, _magenta_checker(u, v))
+    out = jnp.where((textype == TEX_CHECKERBOARD)[:, None], checker, base)
+    out = jnp.where((textype == TEX_IMAGE)[:, None], img, out)
+    return out
+
+
+def emission_color(scene, mid, u, v):
+    """Material::emit (Material.cpp:13-24): texture (or light_color when
+    untextured) times intensity; zero when not emissive."""
+    textype = scene.mat_textype[mid]
+    lc = scene.mat_light_color[mid]
+    tex = texture_color(scene, mid, u, v, lc)
+    col = jnp.where((textype == TEX_NONE)[:, None], lc, tex)
+    col = col * scene.mat_light_intensity[mid][:, None]
+    return col * scene.mat_emissive[mid][:, None]
+
+
+def perturb_normal(scene, mid, u, v, tangent, bitangent, normal):
+    """Material::get_normal (Material.cpp:114-130): tangent-space normal map
+    using the quad's *stale* setQuad tangent frame (quirk parity — see
+    tracer/scene/builder.py). No-op when the material has no normal map."""
+    slot = scene.mat_nm[mid]
+    sx = scene.mat_texscale[mid, 0]
+    sy = scene.mat_texscale[mid, 1]
+    raw, present = _atlas_fetch(scene.nm_data, scene.nm_off, scene.nm_w,
+                                scene.nm_h, slot, u, v, sx, sy)
+    # decode [0,1] -> [-1,1] ( /127.5 - 1 on bytes == *2 - 1 on [0,1] floats
+    # up to the same quantization: raw stores byte/255, so byte/127.5 - 1 =
+    # raw*2 - 1 exactly )
+    nm = raw * 2.0 - 1.0
+    n2 = (nm[:, 0:1] * tangent + nm[:, 1:2] * bitangent
+          + nm[:, 2:3] * normal)
+    n2 = normalize(n2)
+    use = present & (slot > 0)
+    return jnp.where(use[:, None], n2, normal)
+
+
+def skybox_color(scene, d, n_remaining, compat_reference: bool):
+    """Scene::skyboxTexture (Scene.h:149-161).
+
+    Image path: equirect lookup scaled by NRemainingBounces (quirk).
+    No image: black if dark_sky, else white->blue gradient whose blue term
+    is scaled by (NRemainingBounces+1) (quirk: the *(N+1) binds to the blue
+    constant only, Scene.h:153)."""
+    if scene.has_sky_image:
+        u = 0.5 + jnp.arctan2(d[:, 2], d[:, 0]) / (2.0 * jnp.pi)
+        v = 0.5 - jnp.arcsin(jnp.clip(d[:, 1], -1.0, 1.0)) / jnp.pi
+        x = jnp.clip((u * scene.sky_w.astype(jnp.float32)).astype(jnp.int32),
+                     0, scene.sky_w - 1)
+        y = jnp.clip((v * scene.sky_h.astype(jnp.float32)).astype(jnp.int32),
+                     0, scene.sky_h - 1)
+        idx = jnp.clip(y * scene.sky_w + x, 0, scene.sky_data.shape[0] - 1)
+        col = scene.sky_data[idx]
+        if compat_reference:
+            col = col * n_remaining.astype(jnp.float32)[:, None]
+        return col
+    a = 0.5 * (d[:, 1] + 1.0)
+    blue = jnp.array([0.5, 0.7, 1.0], jnp.float32)
+    white = jnp.ones(3, jnp.float32)
+    scale = (n_remaining.astype(jnp.float32) + 1.0 if compat_reference
+             else jnp.ones_like(n_remaining, jnp.float32))
+    grad = ((1.0 - a)[:, None] * white[None, :]
+            + a[:, None] * blue[None, :] * scale[:, None])
+    return grad * (1.0 - scene.dark_sky)

@@ -1,0 +1,390 @@
+"""Scene compiler: SceneBuilder -> DeviceScene (SoA jnp pytree).
+
+The reference keeps typed object lists and virtual-ish dispatch
+(`/root/reference/src/Scene.h:57-65`, switch at `Scene.h:270-304`). The TPU
+recast is one flat SoA table per primitive class plus a material parameter
+table indexed by a per-primitive material id — shading becomes branchless
+gathers + `jnp.where` selects, and intersection becomes `[N,3] @ [3,K]`
+contractions over the whole table at once.
+
+Textures live in a single flat atlas (`tex_data [P,3]`) with per-texture
+(offset, w, h); texel fetch is a differentiable gather, so texels are
+trainable parameters. Normal maps and the skybox use the same scheme.
+
+Triangle meshes are concatenated into one global soup with per-mesh BVHs
+flattened into shared arrays (`bvh_*`), preserving the reference's per-mesh
+closest-hit semantics (`Scene.h:222-228` loops meshes) while letting the
+traversal kernel walk a contiguous node range per mesh.
+
+All shapes are static per scene => one XLA compilation per scene topology.
+Padded rows are masked via `*_valid`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+from tracer.accel.bvh import build_bvh, triangle_bounds, TRIANGLE_SCALING
+from tracer.scene import builder as B
+
+
+@dataclasses.dataclass(frozen=True)
+class DeviceScene:
+    # --- spheres (padded to multiple of 8) -------------------------------
+    sph_center: jnp.ndarray      # [S, 3]
+    sph_radius: jnp.ndarray      # [S]
+    sph_mat: jnp.ndarray         # [S] i32
+    sph_valid: jnp.ndarray       # [S] f32 (1 real, 0 pad)
+
+    # --- quads -----------------------------------------------------------
+    quad_v0: jnp.ndarray         # [Q, 3] transformed vertex 0 (bottom-left)
+    quad_er: jnp.ndarray         # [Q, 3] v1 - v0
+    quad_eu: jnp.ndarray         # [Q, 3] v3 - v0
+    quad_normal: jnp.ndarray     # [Q, 3] normalize(cross(er, eu))
+    quad_tan: jnp.ndarray        # [Q, 3] setQuad m_right_vector (stale frame)
+    quad_bitan: jnp.ndarray      # [Q, 3] setQuad m_up_vector
+    quad_mat: jnp.ndarray        # [Q] i32
+    quad_valid: jnp.ndarray      # [Q] f32
+
+    # --- triangle soup (all meshes, pre-scaled by TRIANGLE_SCALING) ------
+    tri_a: jnp.ndarray           # [T, 3]
+    tri_b: jnp.ndarray           # [T, 3]
+    tri_c: jnp.ndarray           # [T, 3]
+    tri_mesh: jnp.ndarray        # [T] i32 mesh id
+    tri_col_a: jnp.ndarray       # [T, 3] per-corner color (vertex or face)
+    tri_col_b: jnp.ndarray       # [T, 3]
+    tri_col_c: jnp.ndarray       # [T, 3]
+    tri_has_col: jnp.ndarray     # [T] f32 (1 => interpolate cols over diffuse)
+    mesh_mat: jnp.ndarray        # [Nm] i32 material id per mesh
+
+    # --- flattened BVHs (concatenated per mesh) --------------------------
+    bvh_lo: jnp.ndarray          # [Bn, 3]
+    bvh_hi: jnp.ndarray          # [Bn, 3]
+    bvh_leaf_start: jnp.ndarray  # [Bn] i32 (-1 inner)
+    bvh_skip: jnp.ndarray        # [Bn] i32 (mesh-local, pre-offset to global)
+    bvh_leaf_tris: jnp.ndarray   # [NL * LW] i32 global tri id (T => sentinel)
+
+    # --- material table --------------------------------------------------
+    mat_diffuse: jnp.ndarray     # [M, 3]
+    mat_specular: jnp.ndarray    # [M, 3]
+    mat_shininess: jnp.ndarray   # [M]
+    mat_mb: jnp.ndarray          # [M, 3] motion_blur_translation
+    mat_ior: jnp.ndarray         # [M]
+    mat_transparency: jnp.ndarray  # [M]
+    mat_type: jnp.ndarray        # [M] i32 (0 diffuse, 1 glass, 2 mirror)
+    mat_textype: jnp.ndarray     # [M] i32 (0 none, 1 checker, 2 image)
+    mat_check1: jnp.ndarray      # [M, 3]
+    mat_check2: jnp.ndarray      # [M, 3]
+    mat_texscale: jnp.ndarray    # [M, 2] (x, y)
+    mat_emissive: jnp.ndarray    # [M] f32
+    mat_light_color: jnp.ndarray  # [M, 3]
+    mat_light_intensity: jnp.ndarray  # [M]
+    mat_tex: jnp.ndarray         # [M] i32 texture slot (0 reserved = none)
+    mat_nm: jnp.ndarray          # [M] i32 normal-map slot (0 = none)
+
+    # --- texture atlas (slot 0 is a 0x0 "missing" entry) -----------------
+    tex_data: jnp.ndarray        # [P, 3] f32 in [0,1]
+    tex_off: jnp.ndarray         # [K] i32
+    tex_w: jnp.ndarray           # [K] i32
+    tex_h: jnp.ndarray           # [K] i32
+    nm_data: jnp.ndarray         # [Pn, 3] f32 raw (decode at sample time)
+    nm_off: jnp.ndarray
+    nm_w: jnp.ndarray
+    nm_h: jnp.ndarray
+
+    # --- lights ----------------------------------------------------------
+    light_pos: jnp.ndarray       # [L, 3]
+    light_radius: jnp.ndarray    # [L]
+    light_color: jnp.ndarray     # [L, 3]
+
+    # --- skybox ----------------------------------------------------------
+    sky_data: jnp.ndarray        # [Ps, 3] f32 (size 1 when absent)
+    sky_w: jnp.ndarray           # i32 scalar (0 when absent)
+    sky_h: jnp.ndarray           # i32 scalar
+    dark_sky: jnp.ndarray        # f32 scalar (1 => black fallback sky)
+
+    # --- STATIC metadata (hashable; part of the jit cache key) ----------
+    mesh_root: Tuple[int, ...] = ()   # per-mesh BVH node range start
+    mesh_end: Tuple[int, ...] = ()    # per-mesh BVH node range end
+    leaf_width: int = 4
+    has_sky_image: bool = False
+
+    # --- static helpers --------------------------------------------------
+    @property
+    def n_spheres(self) -> int:
+        return self.sph_center.shape[0]
+
+    @property
+    def n_quads(self) -> int:
+        return self.quad_v0.shape[0]
+
+    @property
+    def n_tris(self) -> int:
+        return max(self.tri_a.shape[0] - 1, 0)  # minus sentinel row
+
+    @property
+    def n_meshes(self) -> int:
+        return self.mesh_mat.shape[0]
+
+    @property
+    def n_lights(self) -> int:
+        return self.light_pos.shape[0]
+
+
+_fields = [f.name for f in dataclasses.fields(DeviceScene)]
+_meta = ["mesh_root", "mesh_end", "leaf_width", "has_sky_image"]
+jax.tree_util.register_dataclass(
+    DeviceScene,
+    data_fields=[f for f in _fields if f not in _meta],
+    meta_fields=_meta,
+)
+
+
+def _pad_rows(a: np.ndarray, n: int, fill=0.0) -> np.ndarray:
+    if a.shape[0] >= n:
+        return a
+    pad = np.full((n - a.shape[0],) + a.shape[1:], fill, a.dtype)
+    return np.concatenate([a, pad], axis=0)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m if x > 0 else 0
+
+
+def _atlas(images) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Pack images (uint8 [H,W,3] or None) into a flat float atlas.
+
+    Slot 0 is always the 'missing' entry (w=h=0) so material slot 0 means
+    'no texture' and missing images trigger the reference's fallbacks.
+    """
+    data = [np.zeros((1, 3), np.float32)]
+    off, ws, hs = [0], [0], [0]
+    cursor = 1
+    for img in images:
+        if img is None:
+            off.append(0)
+            ws.append(0)
+            hs.append(0)
+            continue
+        h, w = img.shape[:2]
+        data.append(img.reshape(-1, 3).astype(np.float32) / 255.0)
+        off.append(cursor)
+        ws.append(w)
+        hs.append(h)
+        cursor += h * w
+    return (np.concatenate(data, axis=0),
+            np.asarray(off, np.int32), np.asarray(ws, np.int32),
+            np.asarray(hs, np.int32))
+
+
+def compile_scene(sb: B.SceneBuilder, leaf_width: int = 4,
+                  bvh_max_depth: int = 64, pad: int = 8) -> DeviceScene:
+    # ---- materials ------------------------------------------------------
+    mats: list[B.Material] = []
+
+    def mat_id(m: B.Material) -> int:
+        mats.append(m)
+        return len(mats) - 1
+
+    # ---- spheres --------------------------------------------------------
+    S = len(sb.spheres)
+    Sp = max(_round_up(S, pad), pad)
+    sph_center = np.zeros((Sp, 3), np.float32)
+    sph_radius = np.zeros(Sp, np.float32)
+    sph_mat = np.zeros(Sp, np.int32)
+    sph_valid = np.zeros(Sp, np.float32)
+    for i, s in enumerate(sb.spheres):
+        sph_center[i] = s.center
+        sph_radius[i] = s.radius
+        sph_mat[i] = mat_id(s.material)
+        sph_valid[i] = 1.0
+
+    # ---- quads ----------------------------------------------------------
+    Q = len(sb.squares)
+    Qp = max(_round_up(Q, pad), pad)
+    quad_v0 = np.zeros((Qp, 3), np.float32)
+    quad_er = np.zeros((Qp, 3), np.float32)
+    quad_eu = np.zeros((Qp, 3), np.float32)
+    quad_normal = np.zeros((Qp, 3), np.float32)
+    quad_tan = np.zeros((Qp, 3), np.float32)
+    quad_bitan = np.zeros((Qp, 3), np.float32)
+    quad_mat = np.zeros(Qp, np.int32)
+    quad_valid = np.zeros(Qp, np.float32)
+    quad_er[:, 0] = 1.0  # avoid zero-length pads
+    quad_eu[:, 1] = 1.0
+    quad_normal[:, 2] = 1.0
+    for i, q in enumerate(sb.squares):
+        v = q.verts
+        er, eu = v[1] - v[0], v[3] - v[0]
+        n = np.cross(er.astype(np.float64), eu.astype(np.float64))
+        n = n / max(np.linalg.norm(n), 1e-30)
+        quad_v0[i], quad_er[i], quad_eu[i] = v[0], er, eu
+        quad_normal[i] = n
+        quad_tan[i], quad_bitan[i] = q.tangent, q.bitangent
+        quad_mat[i] = mat_id(q.material)
+        quad_valid[i] = 1.0
+
+    # ---- meshes / triangle soup ----------------------------------------
+    tri_a_l, tri_b_l, tri_c_l = [], [], []
+    tri_mesh_l, tca, tcb, tcc, thc = [], [], [], [], []
+    mesh_mat_l = []
+    bvh_lo_l, bvh_hi_l, bvh_ls_l, bvh_skip_l, leaf_tris_l = [], [], [], [], []
+    mesh_root_l, mesh_end_l = [], []
+    tri_cursor = 0
+    node_cursor = 0
+    leaf_cursor = 0
+    for mi, m in enumerate(sb.meshes):
+        mesh_mat_l.append(mat_id(m.material))
+        v = m.verts * TRIANGLE_SCALING  # KDTree.cpp:38-40 leaf-test scaling
+        t = m.tris
+        tri_a_l.append(v[t[:, 0]])
+        tri_b_l.append(v[t[:, 1]])
+        tri_c_l.append(v[t[:, 2]])
+        tri_mesh_l.append(np.full(t.shape[0], mi, np.int32))
+        if m.vert_colors is not None:
+            tca.append(m.vert_colors[t[:, 0]])
+            tcb.append(m.vert_colors[t[:, 1]])
+            tcc.append(m.vert_colors[t[:, 2]])
+            thc.append(np.ones(t.shape[0], np.float32))
+        elif m.face_colors is not None:
+            tca.append(m.face_colors)
+            tcb.append(m.face_colors)
+            tcc.append(m.face_colors)
+            thc.append(np.ones(t.shape[0], np.float32))
+        else:
+            z = np.zeros((t.shape[0], 3), np.float32)
+            tca.append(z)
+            tcb.append(z)
+            tcc.append(z)
+            thc.append(np.zeros(t.shape[0], np.float32))
+
+        lo, hi = triangle_bounds(m.verts, t)
+        bvh = build_bvh(lo, hi, leaf_width, bvh_max_depth, sentinel=-1)
+        # offset mesh-local ids to global
+        lt = bvh.leaf_tris.copy()
+        lt[lt >= 0] += tri_cursor
+        ls = bvh.node_leaf_start.copy()
+        ls[ls >= 0] += leaf_cursor
+        bvh_lo_l.append(bvh.node_lo)
+        bvh_hi_l.append(bvh.node_hi)
+        bvh_ls_l.append(ls)
+        bvh_skip_l.append(bvh.node_skip + node_cursor)
+        leaf_tris_l.append(lt)
+        mesh_root_l.append(node_cursor)
+        node_cursor += bvh.n_nodes
+        mesh_end_l.append(node_cursor)
+        leaf_cursor += lt.shape[0]
+        tri_cursor += t.shape[0]
+
+    # sentinel triangle (id -1 remaps to last row: degenerate, never hits)
+    def cat3(lst):
+        lst = lst + [np.zeros((1, 3), np.float32)]
+        return np.concatenate(lst, axis=0).astype(np.float32)
+
+    tri_a = cat3(tri_a_l)
+    tri_b = cat3(tri_b_l)
+    tri_c = cat3(tri_c_l)
+    tri_mesh = np.concatenate(tri_mesh_l + [np.zeros(1, np.int32)])
+    tri_col_a = cat3(tca)
+    tri_col_b = cat3(tcb)
+    tri_col_c = cat3(tcc)
+    tri_has_col = np.concatenate(thc + [np.zeros(1, np.float32)])
+    T = tri_a.shape[0] - 1
+    leaf_tris = (np.concatenate(leaf_tris_l) if leaf_tris_l
+                 else np.zeros(0, np.int32))
+    leaf_tris = np.where(leaf_tris < 0, T, leaf_tris).astype(np.int32)
+
+    Nm = len(sb.meshes)
+    if Nm == 0:
+        bvh_lo = np.zeros((0, 3), np.float32)
+        bvh_hi = np.zeros((0, 3), np.float32)
+        bvh_ls = np.zeros(0, np.int32)
+        bvh_skip = np.zeros(0, np.int32)
+    else:
+        bvh_lo = np.concatenate(bvh_lo_l, axis=0)
+        bvh_hi = np.concatenate(bvh_hi_l, axis=0)
+        bvh_ls = np.concatenate(bvh_ls_l)
+        bvh_skip = np.concatenate(bvh_skip_l)
+
+    # ---- material table -------------------------------------------------
+    M = max(len(mats), 1)
+    if not mats:
+        mats = [B.Material()]
+    mat_diffuse = np.stack([m.diffuse for m in mats])
+    mat_specular = np.stack([m.specular for m in mats])
+    mat_shininess = np.asarray([m.shininess for m in mats], np.float32)
+    mat_mb = np.stack([m.motion_blur_translation for m in mats])
+    mat_ior = np.asarray([m.index_medium for m in mats], np.float32)
+    mat_transp = np.asarray([m.transparency for m in mats], np.float32)
+    mat_type = np.asarray([m.mtype for m in mats], np.int32)
+    mat_textype = np.asarray([m.texture_type for m in mats], np.int32)
+    mat_check1 = np.stack([m.checkerboard_color1 for m in mats])
+    mat_check2 = np.stack([m.checkerboard_color2 for m in mats])
+    mat_texscale = np.asarray(
+        [[m.texture_scale_x, m.texture_scale_y] for m in mats], np.float32)
+    mat_emissive = np.asarray([float(m.emissive) for m in mats], np.float32)
+    mat_light_color = np.stack([m.light_color for m in mats])
+    mat_light_int = np.asarray([m.light_intensity for m in mats], np.float32)
+    mat_tex = np.asarray([m.texture_id + 1 for m in mats], np.int32)
+    mat_nm = np.asarray([m.normal_map_id + 1 for m in mats], np.int32)
+
+    tex_data, tex_off, tex_w, tex_h = _atlas(sb.textures)
+    nm_data, nm_off, nm_w, nm_h = _atlas(sb.normal_maps)
+
+    # ---- lights ---------------------------------------------------------
+    L = len(sb.lights)
+    light_pos = (np.stack([l.pos for l in sb.lights])
+                 if L else np.zeros((0, 3), np.float32))
+    light_radius = np.asarray([l.radius for l in sb.lights], np.float32)
+    light_color = (np.stack([l.color for l in sb.lights])
+                   if L else np.zeros((0, 3), np.float32))
+
+    # ---- skybox ---------------------------------------------------------
+    if sb.skybox is not None:
+        sh, sw = sb.skybox.shape[:2]
+        sky_data = sb.skybox.reshape(-1, 3).astype(np.float32) / 255.0
+    else:
+        sh = sw = 0
+        sky_data = np.zeros((1, 3), np.float32)
+
+    jf = jnp.asarray
+    return DeviceScene(
+        sph_center=jf(sph_center), sph_radius=jf(sph_radius),
+        sph_mat=jf(sph_mat), sph_valid=jf(sph_valid),
+        quad_v0=jf(quad_v0), quad_er=jf(quad_er), quad_eu=jf(quad_eu),
+        quad_normal=jf(quad_normal), quad_tan=jf(quad_tan),
+        quad_bitan=jf(quad_bitan), quad_mat=jf(quad_mat),
+        quad_valid=jf(quad_valid),
+        tri_a=jf(tri_a), tri_b=jf(tri_b), tri_c=jf(tri_c),
+        tri_mesh=jf(tri_mesh), tri_col_a=jf(tri_col_a),
+        tri_col_b=jf(tri_col_b), tri_col_c=jf(tri_col_c),
+        tri_has_col=jf(tri_has_col),
+        mesh_mat=jf(np.asarray(mesh_mat_l, np.int32).reshape(-1)),
+        bvh_lo=jf(bvh_lo), bvh_hi=jf(bvh_hi), bvh_leaf_start=jf(bvh_ls),
+        bvh_skip=jf(bvh_skip), bvh_leaf_tris=jf(leaf_tris),
+        mat_diffuse=jf(mat_diffuse), mat_specular=jf(mat_specular),
+        mat_shininess=jf(mat_shininess), mat_mb=jf(mat_mb),
+        mat_ior=jf(mat_ior), mat_transparency=jf(mat_transp),
+        mat_type=jf(mat_type), mat_textype=jf(mat_textype),
+        mat_check1=jf(mat_check1), mat_check2=jf(mat_check2),
+        mat_texscale=jf(mat_texscale), mat_emissive=jf(mat_emissive),
+        mat_light_color=jf(mat_light_color),
+        mat_light_intensity=jf(mat_light_int),
+        mat_tex=jf(mat_tex), mat_nm=jf(mat_nm),
+        tex_data=jf(tex_data), tex_off=jf(tex_off), tex_w=jf(tex_w),
+        tex_h=jf(tex_h),
+        nm_data=jf(nm_data), nm_off=jf(nm_off), nm_w=jf(nm_w), nm_h=jf(nm_h),
+        light_pos=jf(light_pos), light_radius=jf(light_radius),
+        light_color=jf(light_color),
+        sky_data=jf(sky_data), sky_w=jf(np.int32(sw)), sky_h=jf(np.int32(sh)),
+        dark_sky=jf(np.float32(1.0 if sb.dark_sky else 0.0)),
+        mesh_root=tuple(int(x) for x in mesh_root_l),
+        mesh_end=tuple(int(x) for x in mesh_end_l),
+        leaf_width=leaf_width,
+        has_sky_image=sb.skybox is not None,
+    )
