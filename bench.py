@@ -1,0 +1,97 @@
+"""Benchmark: Cornell-box throughput on the attached accelerator.
+
+Prints ONE JSON line:
+  {"metric": "primary_rays_per_s_fwd_cornell", "value": N, "unit": "rays/s",
+   "vs_baseline": N/50e6, ...extras}
+
+Baseline: the BASELINE.md north star of >= 50M rays/s/chip forward on the
+Cornell scene (the reference publishes no numbers — main.cpp:248-249 only
+prints a per-run wall estimate). "Primary rays" = width*height*spp camera
+rays; each one costs up to `max_bounces` scene traversals plus
+`lights*shadow_rays*max_bounces` shadow traversals, reported separately as
+`total_rays_per_s`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+
+def main():
+    from tracer.core.config import RenderConfig
+    from tracer.core import rng
+    from tracer.render.renderer import render_batch
+    from tracer.render.camera import default_camera
+    from tracer.scene.device import compile_scene
+    from tracer.scenes import zoo
+
+    width = int(os.environ.get("BENCH_WIDTH", 850))
+    height = int(os.environ.get("BENCH_HEIGHT", 480))
+    spp = int(os.environ.get("BENCH_SPP", 16))
+    reps = int(os.environ.get("BENCH_REPS", 3))
+
+    cfg = RenderConfig(width=width, height=height, nsamples=spp)
+    scene = compile_scene(zoo.setup_cornell_box(width / height))
+    camera = default_camera(aspect=width / height)
+
+    n_pix = width * height
+    pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
+    base_key = jax.random.key(0)
+
+    def frame(scene, camera):
+        acc = jnp.zeros((n_pix, 3), jnp.float32)
+        for s in range(spp):
+            acc = acc + render_batch(scene, camera, cfg, width, height,
+                                     pixel_ids, jnp.int32(s), base_key)
+        return acc / spp
+
+    jfr = jax.jit(frame)
+    out = jax.block_until_ready(jfr(scene, camera))  # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = jax.block_until_ready(jfr(scene, camera))
+    dt = (time.perf_counter() - t0) / reps
+
+    primary = n_pix * spp
+    n_lights = int(np.asarray(scene.light_pos).shape[0])  # cornell: 0
+    per_primary = cfg.max_bounces * (1 + n_lights * cfg.shadow_rays)
+    total = primary * per_primary
+    rays_s = primary / dt
+
+    # backward: grad of mean radiance w.r.t. material albedo + sphere geom
+    import dataclasses
+
+    def loss(diff, center):
+        s2 = dataclasses.replace(scene, mat_diffuse=diff, sph_center=center)
+        acc = render_batch(s2, camera, cfg, width, height, pixel_ids,
+                           jnp.int32(0), base_key)
+        return jnp.mean(acc)
+
+    g = jax.jit(jax.grad(loss, argnums=(0, 1)))
+    jax.block_until_ready(g(scene.mat_diffuse, scene.sph_center))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        jax.block_until_ready(g(scene.mat_diffuse, scene.sph_center))
+    dt_bwd = (time.perf_counter() - t0) / reps
+    rays_s_fwdbwd = n_pix / dt_bwd
+
+    print(json.dumps({
+        "metric": "primary_rays_per_s_fwd_cornell",
+        "value": round(rays_s),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_s / 50e6, 4),
+        "total_rays_per_s": round(rays_s * per_primary),
+        "fwdbwd_primary_rays_per_s": round(rays_s_fwdbwd),
+        "config": f"{width}x{height}@{spp}spp b{cfg.max_bounces}",
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""Component-level timing of the Cornell forward path on the attached
+accelerator: candidates / gather / lighting / scatter / RNG, to direct
+optimization work. Run: python benchmarks/profile_parts.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+from tracer.core import rng
+from tracer.core.config import RenderConfig
+from tracer.render import integrator
+from tracer.render.camera import default_camera, generate_rays
+from tracer.scene.device import compile_scene
+from tracer.scenes import zoo
+
+
+def bench(name, fn, *args, reps=5):
+    out = jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = jax.block_until_ready(fn(*args))
+    dt = (time.perf_counter() - t0) / reps
+    print(f"{name:34s} {dt * 1e3:9.2f} ms")
+    return dt
+
+
+def main():
+    W, H = 850, 480
+    N = W * H
+    cfg = RenderConfig(width=W, height=H)
+    scene = compile_scene(zoo.setup_cornell_box(W / H))
+    cam = default_camera(aspect=W / H)
+
+    pid = jnp.arange(N, dtype=jnp.int32)
+    base = jax.random.key(0)
+
+    @jax.jit
+    def keys_only(pid):
+        k = rng.ray_keys(base, pid)
+        k = rng.salted(k, 3)
+        u = rng.uniform(rng.salted(k, rng.PIXEL_JITTER), (2,))
+        return u
+
+    @jax.jit
+    def raygen(pid):
+        k = rng.ray_keys(base, pid)
+        uv = rng.uniform(rng.salted(k, rng.PIXEL_JITTER), (2,))
+        x = (pid % W).astype(jnp.float32)
+        y = (pid // W).astype(jnp.float32)
+        o, d = generate_rays(cam, (x + uv[:, 0]) / W, (y + uv[:, 1]) / H)
+        return o, d
+
+    o, d = jax.jit(raygen)(pid)
+    tm = jnp.zeros(N)
+    keys = rng.ray_keys(base, pid)
+
+    @jax.jit
+    def candidates(o, d, tm):
+        return integrator._scene_candidates(scene, o, d, tm, 1e-5)[0]
+
+    t_all = jax.jit(candidates)(o, d, tm)
+    j = jnp.argmin(t_all, axis=1)
+
+    @jax.jit
+    def gather(o, d, tm, j):
+        tri = jnp.full((N, 0), -1, jnp.int32)
+        return integrator._gather_hit(scene, o, d, tm, j, tri, 1e-5)["p"]
+
+    @jax.jit
+    def scatter(o, d, tm, j, keys):
+        tri = jnp.full((N, 0), -1, jnp.int32)
+        h = integrator._gather_hit(scene, o, d, tm, j, tri, 1e-5)
+        return integrator._scatter(scene, cfg, d, h["n"], h["p"], h["mid"],
+                                   keys)[1]
+
+    @jax.jit
+    def full_trace(o, d, tm, keys):
+        return integrator.trace(scene, cfg, o, d, tm, keys)
+
+    print(f"N = {N} rays, device = {jax.devices()[0]}")
+    bench("rng keys+jitter", keys_only, pid)
+    bench("raygen (keys + camera)", raygen, pid)
+    bench("candidates (sph+quad ts)", candidates, o, d, tm)
+    bench("gather_hit (detail+texture)", gather, o, d, tm, j)
+    bench("gather+scatter", scatter, o, d, tm, j, keys)
+    dt = bench("full trace (6 bounces)", full_trace, o, d, tm, keys)
+    print(f"-> {N / dt / 1e6:.2f} M primary rays/s (1 sample)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,131 @@
+"""Gradient fidelity: AD pixel-gradients vs central finite differences
+(the BASELINE.json north-star metric).
+
+Configurations are chosen away from visibility discontinuities (SURVEY.md §7
+'hard parts'): FD probes geometry/material parameters whose perturbation
+does not flip any hit decision at the probed pixels.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tracer.core import rng as trng
+from tracer.core.config import RenderConfig
+from tracer.render import integrator
+from tracer.render.camera import default_camera, generate_rays
+from tracer.scene.builder import SceneBuilder, Material
+from tracer.scene.device import compile_scene
+
+CFG = RenderConfig(max_bounces=1)
+
+
+def _simple_scene():
+    sb = SceneBuilder()
+    sb.add_light((-2., 4., 3.), radius=0.0)
+    sb.add_sphere((0., 0., 0.), 1.0, Material(diffuse=(0.8, 0.3, 0.2)))
+    s = sb.add_square((-1., -1., 0.), (1., 0., 0.), (0., 1., 0.), 8., 8.,
+                      Material(diffuse=(0.3, 0.6, 0.9)))
+    s.rotate_x(-90).translate((0., -1.5, 0.))
+    return compile_scene(sb)
+
+
+def _center_rays(n=6):
+    """Rays through the sphere's interior region (away from silhouette)."""
+    cam = default_camera(aspect=1.0)
+    u = jnp.linspace(0.47, 0.53, n)
+    v = jnp.full(n, 0.5)
+    o, d = generate_rays(cam, u, v)
+    keys = trng.ray_keys(jax.random.key(0), jnp.arange(n, dtype=jnp.int32))
+    return o, d, jnp.zeros(n), keys
+
+
+def _loss_fn(scene, o, d, t, keys):
+    return jnp.sum(integrator.trace(scene, CFG, o, d, t, keys))
+
+
+def _fd_check(param_get, param_set, eps_fd, atol, rtol=5e-2):
+    scene = _simple_scene()
+    o, d, t, keys = _center_rays()
+
+    def loss_of(p):
+        return _loss_fn(param_set(scene, p), o, d, t, keys)
+
+    p0 = param_get(scene)
+    g_ad = jax.grad(loss_of)(p0)
+    g_ad = np.asarray(g_ad).reshape(-1)
+    p0f = np.asarray(p0, np.float64).reshape(-1)
+    g_fd = np.zeros_like(p0f)
+    for i in range(p0f.size):
+        dp = np.zeros_like(p0f)
+        dp[i] = eps_fd
+        lp = float(loss_of(jnp.asarray((p0f + dp).reshape(np.shape(p0)),
+                                       jnp.float32)))
+        lm = float(loss_of(jnp.asarray((p0f - dp).reshape(np.shape(p0)),
+                                       jnp.float32)))
+        g_fd[i] = (lp - lm) / (2 * eps_fd)
+    err = np.abs(g_ad - g_fd)
+    scale = np.maximum(np.abs(g_fd), 1.0)
+    assert (err < atol + rtol * scale).all(), (g_ad, g_fd)
+
+
+def test_grad_sphere_center():
+    import dataclasses
+
+    def get(s):
+        return s.sph_center[0]
+
+    def set_(s, p):
+        return dataclasses.replace(s, sph_center=s.sph_center.at[0].set(p))
+
+    _fd_check(get, set_, eps_fd=1e-3, atol=2e-2)
+
+
+def test_grad_sphere_radius():
+    import dataclasses
+
+    def get(s):
+        return s.sph_radius[0]
+
+    def set_(s, p):
+        return dataclasses.replace(s, sph_radius=s.sph_radius.at[0].set(p))
+
+    _fd_check(get, set_, eps_fd=1e-3, atol=2e-2)
+
+
+def test_grad_albedo():
+    import dataclasses
+
+    def get(s):
+        return s.mat_diffuse[1]  # the sphere's material row
+
+    def set_(s, p):
+        return dataclasses.replace(s, mat_diffuse=s.mat_diffuse.at[1].set(p))
+
+    _fd_check(get, set_, eps_fd=1e-3, atol=1e-2)
+
+
+def test_grad_camera_position():
+    scene = _simple_scene()
+    cam = default_camera(aspect=1.0)
+    n = 6
+    u = jnp.linspace(0.47, 0.53, n)
+    v = jnp.full(n, 0.5)
+    keys = trng.ray_keys(jax.random.key(0), jnp.arange(n, dtype=jnp.int32))
+
+    def loss_of(pos):
+        import dataclasses
+        c = dataclasses.replace(cam, position=pos)
+        o, d = generate_rays(c, u, v)
+        return jnp.sum(integrator.trace(scene, CFG, o, d, jnp.zeros(n), keys))
+
+    p0 = cam.position
+    g_ad = np.asarray(jax.grad(loss_of)(p0))
+    eps = 1e-3
+    g_fd = np.zeros(3)
+    for i in range(3):
+        dp = np.zeros(3, np.float32)
+        dp[i] = eps
+        g_fd[i] = (float(loss_of(p0 + dp)) - float(loss_of(p0 - dp))) / (2 * eps)
+    assert np.abs(g_ad - g_fd).max() < 3e-2 + 5e-2 * np.abs(g_fd).max(), \
+        (g_ad, g_fd)

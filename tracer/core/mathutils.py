@@ -39,7 +39,9 @@ def refract(d, n, etai_over_etat):
     cos_theta = jnp.minimum(dot(d, n), 1.0)
     r_out_perp = etai_over_etat[..., None] * (d + cos_theta[..., None] * n)
     k = jnp.abs(1.0 - dot(r_out_perp, r_out_perp))
-    r_out_parallel = -jnp.sqrt(k)[..., None] * n
+    # clamp: sqrt'(0)=inf would leak NaN via 0*inf through the glass-lobe
+    # selection masks on lanes that aren't actually refracting
+    r_out_parallel = -jnp.sqrt(jnp.maximum(k, 1e-12))[..., None] * n
     return r_out_perp + r_out_parallel
 
 

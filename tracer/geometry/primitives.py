@@ -44,9 +44,16 @@ GLASS = 1
 
 
 def _nk(a, b):
-    """[N,3] x [K,3] -> [N,K] inner products (MXU contraction)."""
+    """[N,3] x [K,3] -> [N,K] inner products (MXU contraction).
+
+    Precision.HIGHEST is load-bearing: the default matmul precision feeds
+    the MXU bf16 inputs (and XLA:CPU similarly relaxes f32 GEMMs), which is
+    catastrophic for intersection geometry — a sphere hit at distance ~6
+    moves by ~0.05 world units at bf16. HIGHEST forces true f32
+    accumulation (bf16x3 passes on TPU)."""
     return jax.lax.dot_general(
-        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
 
 
 # ---------------------------------------------------------------------------
@@ -95,12 +102,18 @@ def sphere_hit_detail(o, d, time, center, radius, mb, eps):
     b = 2.0 * dot(d, oc)
     c = dot(oc, oc) - radius * radius
     delta = b * b - 4.0 * a * c
-    sq = jnp.sqrt(jnp.maximum(delta, 1e-30))
+    # max() (not +eps) so lanes where this sphere was NOT the selected hit
+    # (delta<=0 garbage) get a ZERO gradient through the clamp instead of
+    # the inf derivative of sqrt at 0 leaking 0*inf=NaN through the
+    # selection `where`s.
+    sq = jnp.sqrt(jnp.maximum(delta, 1e-12))
     t = (-b - sq) / (2.0 * a)
     p = o + t[:, None] * d
     n = normalize(p - tc)
-    theta = jnp.arccos(jnp.clip(-n[:, 1], -1.0, 1.0))   # Sphere.h:129
-    phi = jnp.arctan2(-n[:, 2], n[:, 0]) + jnp.pi       # Sphere.h:130
+    # clip strictly inside (-1, 1): arccos' diverges at the poles and theta
+    # only feeds texture-index (non-differentiable) paths anyway.
+    theta = jnp.arccos(jnp.clip(-n[:, 1], -1.0 + 1e-7, 1.0 - 1e-7))
+    phi = jnp.arctan2(-n[:, 2], n[:, 0] + 1e-20) + jnp.pi   # Sphere.h:130
     return t, p, n, theta, phi
 
 
@@ -152,7 +165,10 @@ def quad_hit_detail(o, d, time, v0, er, eu, mb):
     bl = v0 + time[:, None] * mb
     dotRN = dot(d, n)
     D = dot(bl, n)
-    t = (D - dot(o, n)) / jnp.where(dotRN == 0.0, 1e-30, dotRN)
+    # keep masked lanes' magnitudes bounded (selected quads have |d.n|>>0)
+    safe = jnp.where(jnp.abs(dotRN) < 1e-9,
+                     jnp.where(dotRN < 0, -1e-9, 1e-9), dotRN)
+    t = (D - dot(o, n)) / safe
     p = o + t[:, None] * d
     q = p - bl
     u = dot(q, er) / jnp.maximum(dot(er, er), 1e-30)

@@ -69,6 +69,7 @@ def generate_rays(camera: Camera, u, v):
     y = (1.0 - 2.0 * v) * th
     d_cam = jnp.stack([x, y, -jnp.ones_like(x)], axis=-1)
     R = quat_to_matrix(camera.quaternion)
-    d_world = normalize(d_cam @ R.T)
+    d_world = normalize(jnp.matmul(d_cam, R.T,
+                                   precision=jax.lax.Precision.HIGHEST))
     o = jnp.broadcast_to(camera.position, d_world.shape)
     return o, d_world

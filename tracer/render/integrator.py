@@ -262,11 +262,20 @@ def trace(scene, cfg: RenderConfig, o, d, time, keys):
     eps = cfg.epsilon
     B = cfg.max_bounces
 
+    # The initial carry is derived from the ray inputs (not fresh
+    # constants) so that under shard_map it carries the same
+    # varying-manual-axes type as the per-bounce outputs — otherwise the
+    # scan rejects the carry (sharded-typing mismatch). `d` is the one
+    # input guaranteed to vary over every mesh axis (o may be a broadcast
+    # camera position, which is replicated), so everything is promoted
+    # through a zero multiple of it.
+    zero3 = d * 0.0 + o * 0.0
+    zero1 = zero3[:, 0] + time * 0.0
     state = dict(
-        o=o, d=d, time=time,
-        throughput=jnp.ones((N, 3), jnp.float32),
-        active=jnp.ones(N, jnp.bool_),
-        acc=jnp.zeros((N, 3), jnp.float32),
+        o=o + zero3, d=d, time=time + zero1,
+        throughput=zero3 + 1.0,
+        active=zero1 == 0.0,
+        acc=zero3,
     )
 
     def bounce(state, b):

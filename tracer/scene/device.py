@@ -183,7 +183,10 @@ def _atlas(images) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
 
 
 def compile_scene(sb: B.SceneBuilder, leaf_width: int = 4,
-                  bvh_max_depth: int = 64, pad: int = 8) -> DeviceScene:
+                  bvh_max_depth: int = 64, pad: int = 8,
+                  use_native: bool = True) -> DeviceScene:
+    """Lower a SceneBuilder to a DeviceScene. `use_native` prefers the C++
+    SAH BVH builder (native/bvh_builder.cpp) and falls back to numpy."""
     # ---- materials ------------------------------------------------------
     mats: list[B.Material] = []
 
@@ -264,7 +267,12 @@ def compile_scene(sb: B.SceneBuilder, leaf_width: int = 4,
             thc.append(np.zeros(t.shape[0], np.float32))
 
         lo, hi = triangle_bounds(m.verts, t)
-        bvh = build_bvh(lo, hi, leaf_width, bvh_max_depth, sentinel=-1)
+        bvh = None
+        if use_native:
+            from tracer.accel.native import build_bvh_native
+            bvh = build_bvh_native(lo, hi, leaf_width, bvh_max_depth)
+        if bvh is None:
+            bvh = build_bvh(lo, hi, leaf_width, bvh_max_depth, sentinel=-1)
         # offset mesh-local ids to global
         lt = bvh.leaf_tris.copy()
         lt[lt >= 0] += tri_cursor
