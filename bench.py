@@ -44,7 +44,10 @@ def main():
     pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
     base_key = jax.random.key(0)
 
-    def frame(scene, camera):
+    # NB: pixel_ids/base_key are jit ARGUMENTS, never closure captures — a
+    # captured device array flips this environment's TPU runtime into
+    # synchronous dispatch for the rest of the process.
+    def frame(scene, camera, pixel_ids, base_key):
         acc = jnp.zeros((n_pix, 3), jnp.float32)
         for s in range(spp):
             acc = acc + render_batch(scene, camera, cfg, width, height,
@@ -52,10 +55,10 @@ def main():
         return acc / spp
 
     jfr = jax.jit(frame)
-    out = jax.block_until_ready(jfr(scene, camera))  # compile + warmup
+    out = jax.block_until_ready(jfr(scene, camera, pixel_ids, base_key))
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = jax.block_until_ready(jfr(scene, camera))
+        out = jax.block_until_ready(jfr(scene, camera, pixel_ids, base_key))
     dt = (time.perf_counter() - t0) / reps
 
     primary = n_pix * spp
@@ -67,17 +70,19 @@ def main():
     # backward: grad of mean radiance w.r.t. material albedo + sphere geom
     import dataclasses
 
-    def loss(diff, center):
+    def loss(diff, center, scene, camera, pixel_ids, base_key):
         s2 = dataclasses.replace(scene, mat_diffuse=diff, sph_center=center)
         acc = render_batch(s2, camera, cfg, width, height, pixel_ids,
                            jnp.int32(0), base_key)
         return jnp.mean(acc)
 
     g = jax.jit(jax.grad(loss, argnums=(0, 1)))
-    jax.block_until_ready(g(scene.mat_diffuse, scene.sph_center))
+    gargs = (scene.mat_diffuse, scene.sph_center, scene, camera, pixel_ids,
+             base_key)
+    jax.block_until_ready(g(*gargs))
     t0 = time.perf_counter()
     for _ in range(reps):
-        jax.block_until_ready(g(scene.mat_diffuse, scene.sph_center))
+        jax.block_until_ready(g(*gargs))
     dt_bwd = (time.perf_counter() - t0) / reps
     rays_s_fwdbwd = n_pix / dt_bwd
 

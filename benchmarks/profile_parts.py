@@ -1,6 +1,12 @@
 """Component-level timing of the Cornell forward path on the attached
 accelerator: candidates / gather / lighting / scatter / RNG, to direct
 optimization work. Run: python benchmarks/profile_parts.py
+
+Every jitted function takes ALL device arrays as explicit arguments — a
+closure-captured device array makes this environment's TPU runtime fall
+back to synchronous dispatch for the rest of the process (one full
+host<->device round trip per launch), which silently inflates every
+subsequent measurement by ~25 ms.
 """
 
 import os
@@ -22,10 +28,11 @@ from tracer.scenes import zoo
 
 
 def bench(name, fn, *args, reps=5):
-    out = jax.block_until_ready(fn(*args))
+    jfn = jax.jit(fn)
+    out = jax.block_until_ready(jfn(*args))
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = jax.block_until_ready(fn(*args))
+        out = jax.block_until_ready(jfn(*args))
     dt = (time.perf_counter() - t0) / reps
     print(f"{name:34s} {dt * 1e3:9.2f} ms")
     return dt
@@ -41,15 +48,13 @@ def main():
     pid = jnp.arange(N, dtype=jnp.int32)
     base = jax.random.key(0)
 
-    @jax.jit
-    def keys_only(pid):
+    def keys_only(base, pid):
         k = rng.ray_keys(base, pid)
         k = rng.salted(k, 3)
         u = rng.uniform(rng.salted(k, rng.PIXEL_JITTER), (2,))
         return u
 
-    @jax.jit
-    def raygen(pid):
+    def raygen(base, cam, pid):
         k = rng.ray_keys(base, pid)
         uv = rng.uniform(rng.salted(k, rng.PIXEL_JITTER), (2,))
         x = (pid % W).astype(jnp.float32)
@@ -57,40 +62,36 @@ def main():
         o, d = generate_rays(cam, (x + uv[:, 0]) / W, (y + uv[:, 1]) / H)
         return o, d
 
-    o, d = jax.jit(raygen)(pid)
+    o, d = jax.jit(raygen)(base, cam, pid)
     tm = jnp.zeros(N)
-    keys = rng.ray_keys(base, pid)
+    keys = jax.jit(rng.ray_keys)(base, pid)
 
-    @jax.jit
-    def candidates(o, d, tm):
+    def candidates(scene, o, d, tm):
         return integrator._scene_candidates(scene, o, d, tm, 1e-5)[0]
 
-    t_all = jax.jit(candidates)(o, d, tm)
+    t_all = jax.jit(candidates)(scene, o, d, tm)
     j = jnp.argmin(t_all, axis=1)
 
-    @jax.jit
-    def gather(o, d, tm, j):
+    def gather(scene, o, d, tm, j):
         tri = jnp.full((N, 0), -1, jnp.int32)
         return integrator._gather_hit(scene, o, d, tm, j, tri, 1e-5)["p"]
 
-    @jax.jit
-    def scatter(o, d, tm, j, keys):
+    def scatter(scene, o, d, tm, j, keys):
         tri = jnp.full((N, 0), -1, jnp.int32)
         h = integrator._gather_hit(scene, o, d, tm, j, tri, 1e-5)
         return integrator._scatter(scene, cfg, d, h["n"], h["p"], h["mid"],
                                    keys)[1]
 
-    @jax.jit
-    def full_trace(o, d, tm, keys):
+    def full_trace(scene, o, d, tm, keys):
         return integrator.trace(scene, cfg, o, d, tm, keys)
 
     print(f"N = {N} rays, device = {jax.devices()[0]}")
-    bench("rng keys+jitter", keys_only, pid)
-    bench("raygen (keys + camera)", raygen, pid)
-    bench("candidates (sph+quad ts)", candidates, o, d, tm)
-    bench("gather_hit (detail+texture)", gather, o, d, tm, j)
-    bench("gather+scatter", scatter, o, d, tm, j, keys)
-    dt = bench("full trace (6 bounces)", full_trace, o, d, tm, keys)
+    bench("rng keys+jitter", keys_only, base, pid)
+    bench("raygen (keys + camera)", raygen, base, cam, pid)
+    bench("candidates (sph+quad ts)", candidates, scene, o, d, tm)
+    bench("gather_hit (detail+texture)", gather, scene, o, d, tm, j)
+    bench("gather+scatter", scatter, scene, o, d, tm, j, keys)
+    dt = bench("full trace (6 bounces)", full_trace, scene, o, d, tm, keys)
     print(f"-> {N / dt / 1e6:.2f} M primary rays/s (1 sample)")
 
 

@@ -39,21 +39,24 @@ import jax.numpy as jnp
 
 from tracer.core.mathutils import dot, normalize
 
-INF = jnp.float32(3.0e38)
+# Python float, NOT an eager jnp scalar: a module-level device constant
+# gets captured into every jit and makes this environment's TPU runtime
+# fall back to synchronous dispatch for the rest of the process.
+INF = 3.0e38
 GLASS = 1
 
 
 def _nk(a, b):
-    """[N,3] x [K,3] -> [N,K] inner products (MXU contraction).
+    """[N,3] x [K,3] -> [N,K] inner products.
 
-    Precision.HIGHEST is load-bearing: the default matmul precision feeds
-    the MXU bf16 inputs (and XLA:CPU similarly relaxes f32 GEMMs), which is
-    catastrophic for intersection geometry — a sphere hit at distance ~6
-    moves by ~0.05 world units at bf16. HIGHEST forces true f32
-    accumulation (bf16x3 passes on TPU)."""
-    return jax.lax.dot_general(
-        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+    Deliberately a broadcast-multiply-sum, NOT a dot_general: the
+    contraction dim is 3 and K is ~a few dozen, so the MXU would run at <3%
+    utilization while the matmul boundary forces XLA to materialize every
+    [N,K] intermediate in HBM. As a VPU elementwise chain the whole
+    candidate computation fuses into one kernel (one read of the ray batch,
+    one write of t[N,K]) and stays exact f32 — no bf16 MXU rounding of
+    intersection geometry."""
+    return jnp.sum(a[:, None, :] * b[None, :, :], axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -304,7 +307,7 @@ def bvh_closest_hit(o, d, scene, root: int, end: int, leaf_width: int = 4):
             return nxt, best_t, best_tri
 
         _, t, tri = jax.lax.while_loop(
-            cond, body, (jnp.int32(root), INF, jnp.int32(-1)))
+            cond, body, (jnp.int32(root), jnp.float32(INF), jnp.int32(-1)))
         return t, tri
 
     return jax.vmap(per_ray)(o, d)

@@ -195,10 +195,7 @@ def _direct_lighting(scene, cfg: RenderConfig, p, n, d_in, time, mid, diffuse,
         t_light = jnp.linalg.norm(off, axis=-1)              # [N,K]
         sdir = off / jnp.maximum(t_light, 1e-20)[..., None]
         so = p[:, None, :] + sdir * cfg.epsilon
-        bkeys = rng.salted(keys, rng.SHADOW_BERNOULLI, i)
-        bkeys = jax.vmap(
-            lambda k: jax.vmap(
-                lambda s: jax.random.fold_in(k, s))(jnp.arange(K)))(bkeys)
+        bkeys = rng.lane_keys(rng.salted(keys, rng.SHADOW_BERNOULLI, i), K)
         blocked = _shadow_blocked(
             scene, so.reshape(N * K, 3), sdir.reshape(N * K, 3),
             jnp.repeat(time, K), t_light.reshape(N * K),
