@@ -10,10 +10,17 @@ prints a per-run wall estimate). "Primary rays" = width*height*spp camera
 rays; each one costs up to `max_bounces` scene traversals plus
 `lights*shadow_rays*max_bounces` shadow traversals, reported separately as
 `total_rays_per_s`.
+
+Timing discipline (this environment): `jax.block_until_ready` is a NO-OP
+under the axon TPU tunnel — it returns before the computation runs. The
+only honest sync is fetching a value to the host, so every timed function
+reduces to a scalar and we `float()` it. Sample loops use `lax.map`, not a
+Python unroll (a 16x-unrolled frame took ~6 min to compile here).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import time
@@ -21,6 +28,14 @@ import time
 import jax
 import numpy as np
 import jax.numpy as jnp
+
+
+def timeit(jfn, args, reps):
+    v = float(jfn(*args))  # compile + first run
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        v = float(jfn(*args))
+    return (time.perf_counter() - t0) / reps, v
 
 
 def main():
@@ -48,18 +63,14 @@ def main():
     # captured device array flips this environment's TPU runtime into
     # synchronous dispatch for the rest of the process.
     def frame(scene, camera, pixel_ids, base_key):
-        acc = jnp.zeros((n_pix, 3), jnp.float32)
-        for s in range(spp):
-            acc = acc + render_batch(scene, camera, cfg, width, height,
-                                     pixel_ids, jnp.int32(s), base_key)
-        return acc / spp
+        def one(s):
+            return render_batch(scene, camera, cfg, width, height,
+                                pixel_ids, s, base_key)
+        rad = jax.lax.map(one, jnp.arange(spp, dtype=jnp.int32))
+        # reduce to a scalar so the timed fetch is 4 bytes, not the frame
+        return jnp.mean(jnp.sum(rad, 0) / spp)
 
-    jfr = jax.jit(frame)
-    out = jax.block_until_ready(jfr(scene, camera, pixel_ids, base_key))
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = jax.block_until_ready(jfr(scene, camera, pixel_ids, base_key))
-    dt = (time.perf_counter() - t0) / reps
+    dt, _ = timeit(jax.jit(frame), (scene, camera, pixel_ids, base_key), reps)
 
     primary = n_pix * spp
     n_lights = int(np.asarray(scene.light_pos).shape[0])  # cornell: 0
@@ -68,22 +79,19 @@ def main():
     rays_s = primary / dt
 
     # backward: grad of mean radiance w.r.t. material albedo + sphere geom
-    import dataclasses
-
     def loss(diff, center, scene, camera, pixel_ids, base_key):
         s2 = dataclasses.replace(scene, mat_diffuse=diff, sph_center=center)
         acc = render_batch(s2, camera, cfg, width, height, pixel_ids,
                            jnp.int32(0), base_key)
         return jnp.mean(acc)
 
-    g = jax.jit(jax.grad(loss, argnums=(0, 1)))
+    def gsum(*args):
+        g = jax.grad(loss, argnums=(0, 1))(*args)
+        return sum(jnp.sum(x) for x in jax.tree.leaves(g))
+
     gargs = (scene.mat_diffuse, scene.sph_center, scene, camera, pixel_ids,
              base_key)
-    jax.block_until_ready(g(*gargs))
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        jax.block_until_ready(g(*gargs))
-    dt_bwd = (time.perf_counter() - t0) / reps
+    dt_bwd, _ = timeit(jax.jit(gsum), gargs, reps)
     rays_s_fwdbwd = n_pix / dt_bwd
 
     print(json.dumps({

@@ -28,11 +28,15 @@ from tracer.scenes import zoo
 
 
 def bench(name, fn, *args, reps=5):
-    jfn = jax.jit(fn)
-    out = jax.block_until_ready(jfn(*args))
+    # block_until_ready is a NO-OP under the axon tunnel — the only honest
+    # sync is fetching a value, so reduce to a scalar and float() it.
+    jfn = jax.jit(lambda *a: jnp.sum(jnp.stack(
+        [jnp.sum(x.astype(jnp.float32) if x.dtype != jnp.float32 else x)
+         for x in jax.tree.leaves(fn(*a))])))
+    v = float(jfn(*args))
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = jax.block_until_ready(jfn(*args))
+        v = float(jfn(*args))
     dt = (time.perf_counter() - t0) / reps
     print(f"{name:34s} {dt * 1e3:9.2f} ms")
     return dt
