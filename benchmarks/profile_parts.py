@@ -76,15 +76,21 @@ def main():
     t_all = jax.jit(candidates)(scene, o, d, tm)
     j = jnp.argmin(t_all, axis=1)
 
+    from tracer.core import vec3p as vp
+
     def gather(scene, o, d, tm, j):
-        tri = jnp.full((N, 0), -1, jnp.int32)
-        return integrator._gather_hit(scene, o, d, tm, j, tri, 1e-5)["p"]
+        tri = jnp.full((0, N), -1, jnp.int32)
+        op, dp = vp.splat(o), vp.splat(d)
+        return integrator._gather_hit_p(scene, op, dp, vp.dot(dp, dp), tm,
+                                        j, tri, 1e-5)["p"]
 
     def scatter(scene, o, d, tm, j, keys):
-        tri = jnp.full((N, 0), -1, jnp.int32)
-        h = integrator._gather_hit(scene, o, d, tm, j, tri, 1e-5)
-        return integrator._scatter(scene, cfg, d, h["n"], h["p"], h["mid"],
-                                   keys)[1]
+        tri = jnp.full((0, N), -1, jnp.int32)
+        op, dp = vp.splat(o), vp.splat(d)
+        h = integrator._gather_hit_p(scene, op, dp, vp.dot(dp, dp), tm, j,
+                                     tri, 1e-5)
+        return integrator._scatter_p(scene, cfg, dp, h["n"], h["p"],
+                                     h["mid"], keys)[1]
 
     def full_trace(scene, o, d, tm, keys):
         return integrator.trace(scene, cfg, o, d, tm, keys)

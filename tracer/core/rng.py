@@ -134,3 +134,73 @@ def sphere_unit_vector(keys, shape_suffix=()):
     r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
     phi = 2.0 * jnp.pi * u[..., 1]
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Planar twins (see tracer/core/vec3p.py): same bit streams, component form
+# ---------------------------------------------------------------------------
+
+def uniform_lanes_p(keys, n, minval=0.0, maxval=1.0):
+    """Planar twin of `uniform(keys, (n,))`: a list of n [N] arrays that are
+    bit-identical to that call's columns (lane i key = _mix(keys, i+2))."""
+    out = []
+    for i in range(n):
+        u = _to_unit_float(_pcg(_mix(keys, jnp.uint32(i + 2))))
+        if minval != 0.0 or maxval != 1.0:
+            u = minval + (maxval - minval) * u
+        out.append(u)
+    return out
+
+
+def _cube_normalize_p(p):
+    # divide (not multiply-by-reciprocal): bit-identical to the array twin
+    n = jnp.maximum(jnp.sqrt(p[0] * p[0] + p[1] * p[1] + p[2] * p[2]), 1e-20)
+    return p[0] / n, p[1] / n, p[2] / n
+
+
+def cube_unit_vector_p(keys):
+    """Planar twin of `cube_unit_vector(keys)` (bit-identical draws)."""
+    p = tuple(uniform_lanes_p(keys, 3, -1.0, 1.0))
+    return _cube_normalize_p(p)
+
+
+def sphere_unit_vector_p(keys):
+    """Planar twin of `sphere_unit_vector(keys)` (bit-identical draws)."""
+    u0, u1 = uniform_lanes_p(keys, 2)
+    z = 1.0 - 2.0 * u0
+    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    phi = 2.0 * jnp.pi * u1
+    return r * jnp.cos(phi), r * jnp.sin(phi), z
+
+
+def cube_unit_vector_lane_p(keys, k):
+    """Planar twin of lane k of `cube_unit_vector(keys, (K,))`: that call
+    draws uniform(keys, (K,3)) whose flat lane for (k, axis) is k*3+axis,
+    so lane keys are _mix(keys, k*3+axis+2)."""
+    p = tuple(
+        -1.0 + 2.0 * _to_unit_float(_pcg(_mix(keys, jnp.uint32(k * 3 + a + 2))))
+        for a in range(3))
+    return _cube_normalize_p(p)
+
+
+def sphere_unit_vector_lane_p(keys, k):
+    """Planar twin of lane k of `sphere_unit_vector(keys, (K,))` (which
+    draws uniform(keys, (K,2)), flat lane k*2+axis)."""
+    u0 = _to_unit_float(_pcg(_mix(keys, jnp.uint32(k * 2 + 2))))
+    u1 = _to_unit_float(_pcg(_mix(keys, jnp.uint32(k * 2 + 3))))
+    z = 1.0 - 2.0 * u0
+    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    phi = 2.0 * jnp.pi * u1
+    return r * jnp.cos(phi), r * jnp.sin(phi), z
+
+
+def uniform_lane_key_p(keys, k):
+    """Planar twin of column k of `lane_keys(keys, K)`."""
+    return _mix(keys, jnp.uint32(k + 2))
+
+
+def uniform_lanes_leading_p(keys, n):
+    """[n, N] uniforms whose row i is bit-identical to column i of
+    `uniform(keys, (n,))` — the planar (rays-in-lanes) orientation."""
+    lanes = jnp.arange(n, dtype=jnp.uint32)[:, None]
+    return _to_unit_float(_pcg(_mix(keys[None, :], lanes + jnp.uint32(2))))

@@ -332,3 +332,125 @@ def mesh_closest_hits(o, d, scene, eps):
         N = o.shape[0]
         return (jnp.full((N, 0), INF), jnp.full((N, 0), -1, jnp.int32))
     return jnp.stack(ts, axis=1), jnp.stack(tris, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Planar variants — the integrator hot path (see tracer/core/vec3p.py).
+# Same semantics as the array versions above (which remain the reference
+# implementation for unit tests); shapes are [K, N] with rays N in the TPU
+# lane dimension instead of [N, K] with K (or 3) wasting lanes.
+# ---------------------------------------------------------------------------
+
+from tracer.core import vec3p as vp  # noqa: E402
+
+
+def sphere_ts_planar(o, d, a2, time, center, radius, mb, valid, eps):
+    """Candidate ts vs every sphere, planar. o,d: planar [N]; a2 = d.d [N];
+    center/mb: [S,3]; radius/valid: [S]. Returns t [S, N] (INF = no hit)."""
+    cx, cy, cz = (c[:, None] for c in vp.cols(center))
+    mx, my, mz = (c[:, None] for c in vp.cols(mb))
+    t_ = time[None, :]
+    ocx = o[0][None, :] - (cx + t_ * mx)
+    ocy = o[1][None, :] - (cy + t_ * my)
+    ocz = o[2][None, :] - (cz + t_ * mz)
+    b = 2.0 * (d[0][None, :] * ocx + d[1][None, :] * ocy
+               + d[2][None, :] * ocz)
+    cc = ocx * ocx + ocy * ocy + ocz * ocz - (radius * radius)[:, None]
+    delta = b * b - 4.0 * a2[None, :] * cc
+    t = (-b - jnp.sqrt(jnp.maximum(delta, 0.0))) / (2.0 * a2[None, :])
+    ok = (delta >= 0.0) & (t >= eps) & (valid[:, None] > 0.5)
+    return jnp.where(ok, t, INF)
+
+
+def quad_ts_planar(o, d, time, v0, er, eu, n, mb, mat_is_glass, valid, eps):
+    """Candidate ts vs every quad, planar. Returns t [Q, N]."""
+    nx, ny, nz = (c[:, None] for c in vp.cols(n))
+    dotRN = d[0][None, :] * nx + d[1][None, :] * ny + d[2][None, :] * nz
+    o_n = o[0][None, :] * nx + o[1][None, :] * ny + o[2][None, :] * nz
+    v0_n = jnp.sum(v0 * n, axis=-1)[:, None]
+    mb_n = jnp.sum(mb * n, axis=-1)[:, None]
+    t_ = time[None, :]
+    D = v0_n + t_ * mb_n
+    t = (D - o_n) / jnp.where(dotRN == 0.0, 1e-30, dotRN)
+
+    ex, ey, ez = (c[:, None] for c in vp.cols(er))
+    o_er = o[0][None, :] * ex + o[1][None, :] * ey + o[2][None, :] * ez
+    d_er = d[0][None, :] * ex + d[1][None, :] * ey + d[2][None, :] * ez
+    v0_er = jnp.sum(v0 * er, axis=-1)[:, None]
+    mb_er = jnp.sum(mb * er, axis=-1)[:, None]
+    s1 = o_er + t * d_er - (v0_er + t_ * mb_er)
+
+    ux, uy, uz = (c[:, None] for c in vp.cols(eu))
+    o_eu = o[0][None, :] * ux + o[1][None, :] * uy + o[2][None, :] * uz
+    d_eu = d[0][None, :] * ux + d[1][None, :] * uy + d[2][None, :] * uz
+    v0_eu = jnp.sum(v0 * eu, axis=-1)[:, None]
+    mb_eu = jnp.sum(mb * eu, axis=-1)[:, None]
+    s2 = o_eu + t * d_eu - (v0_eu + t_ * mb_eu)
+
+    er2 = jnp.sum(er * er, axis=-1)[:, None]
+    eu2 = jnp.sum(eu * eu, axis=-1)[:, None]
+    front = dotRN < 0.0
+    two_sided = mat_is_glass[:, None] > 0.5
+    ok = (dotRN != 0.0) & (front | two_sided) & (t >= eps)
+    ok &= (s1 >= 0.0) & (s1 <= er2) & (s2 >= 0.0) & (s2 <= eu2)
+    ok &= valid[:, None] > 0.5
+    return jnp.where(ok, t, INF)
+
+
+def sphere_hit_detail_planar(o, d, a2, time, center, radius, mb, eps):
+    """Planar hit record for ONE gathered sphere per ray: center/mb planar
+    [N], radius [N]. Returns (t, p, n, theta, phi) with p/n planar."""
+    tc = vp.axpy(time, mb, center)
+    oc = vp.sub(o, tc)
+    b = 2.0 * vp.dot(d, oc)
+    c = vp.dot(oc, oc) - radius * radius
+    delta = b * b - 4.0 * a2 * c
+    # max() (not +eps): non-selected lanes' garbage gets a zero grad through
+    # the clamp instead of sqrt'(0)=inf leaking 0*inf=NaN through selects
+    sq = jnp.sqrt(jnp.maximum(delta, 1e-12))
+    t = (-b - sq) / (2.0 * a2)
+    p = vp.axpy(t, d, o)
+    n = vp.normalize(vp.sub(p, tc))
+    theta = jnp.arccos(jnp.clip(-n[1], -1.0 + 1e-7, 1.0 - 1e-7))
+    phi = jnp.arctan2(-n[2], n[0] + 1e-20) + jnp.pi   # Sphere.h:130
+    return t, p, n, theta, phi
+
+
+def quad_hit_detail_planar(o, d, time, v0, er, eu, mb):
+    """Planar hit record for ONE gathered quad per ray (all args planar
+    [N]). Returns (t, p, n, u, v)."""
+    n = vp.normalize(vp.cross(er, eu))
+    bl = vp.axpy(time, mb, v0)
+    dotRN = vp.dot(d, n)
+    safe = jnp.where(jnp.abs(dotRN) < 1e-9,
+                     jnp.where(dotRN < 0, -1e-9, 1e-9), dotRN)
+    t = (vp.dot(bl, n) - vp.dot(o, n)) / safe
+    p = vp.axpy(t, d, o)
+    q = vp.sub(p, bl)
+    u = vp.dot(q, er) / jnp.maximum(vp.dot(er, er), 1e-30)
+    v = vp.dot(q, eu) / jnp.maximum(vp.dot(eu, eu), 1e-30)
+    return t, p, n, u, v
+
+
+def triangle_hit_detail_planar(o, d, a, b, c):
+    """Planar hit record for ONE gathered triangle per ray (a,b,c planar
+    [N]). Returns (t, p, n, w0, w1, w2)."""
+    v0 = vp.sub(b, a)
+    v1 = vp.sub(c, a)
+    n = vp.normalize(vp.cross(v0, v1))
+    dotRN = vp.dot(d, n)
+    t = (vp.dot(a, n) - vp.dot(o, n)) / jnp.where(dotRN == 0.0, 1e-30, dotRN)
+    p = vp.axpy(t, d, o)
+    v2 = vp.sub(p, a)
+    d00 = vp.dot(v0, v0)
+    d01 = vp.dot(v0, v1)
+    d11 = vp.dot(v1, v1)
+    d20 = vp.dot(v2, v0)
+    d21 = vp.dot(v2, v1)
+    raw = d00 * d11 - d01 * d01
+    denom = jnp.maximum(jnp.abs(raw), 1e-30)
+    sign = jnp.sign(raw + 1e-38)
+    w1 = sign * (d11 * d20 - d01 * d21) / denom
+    w2 = sign * (d00 * d21 - d01 * d20) / denom
+    w0 = 1.0 - w1 - w2
+    return t, p, n, w0, w1, w2

@@ -4,10 +4,11 @@ TPU-native recast of `Scene::rayTraceRecursive` / `rayTrace`
 (`/root/reference/src/Scene.h:258-350`): the depth-6 recursion becomes a
 `lax.scan` over bounces carrying a SoA ray-batch state
 (origin, direction, time, throughput, active, accumulated radiance); per
-bounce, one fused pass does closest-hit (MXU contractions over the sphere /
-quad tables + stackless BVH walks per mesh), branchless material fetch,
-direct lighting with NB_ECH jittered shadow rays per light, and BSDF
-scatter. All reference quirks are replicated under compat=reference:
+bounce, one fused pass does closest-hit (planar-component candidate tests
+over the sphere / quad tables + stackless BVH walks per mesh), branchless
+material fetch, direct lighting with NB_ECH jittered shadow rays per light,
+and BSDF scatter. All reference quirks are replicated under
+compat=reference:
 
 - `lights[0].material` used as the color for every light (Scene.h:311);
 - each light's soft-shadow factor multiplies the *accumulated* direct color
@@ -24,6 +25,13 @@ scatter. All reference quirks are replicated under compat=reference:
   uniform draw is <= its transparency (Scene.h:235-255).
 
 compat=physical fixes all of the above.
+
+Layout: the whole hot path works on PLANAR vectors — tuples (x, y, z) of
+[N] arrays with rays in the TPU lane dimension — instead of [N,3] arrays
+whose 3-wide minor dim would waste 125/128 lanes on every elementwise op
+(see tracer/core/vec3p.py; measured 3.1x on the candidate pass alone).
+Candidate tensors are [K, N] (objects in sublanes, rays in lanes); the
+selection argmin reduces over the leading axis.
 """
 
 from __future__ import annotations
@@ -32,62 +40,81 @@ import jax
 import jax.numpy as jnp
 
 from tracer.core import rng
+from tracer.core import vec3p as vp
 from tracer.core.config import RenderConfig
-from tracer.core.mathutils import (dot, normalize, reflect, refract,
-                                   schlick_reflectance)
+from tracer.core.mathutils import schlick_reflectance
 from tracer.geometry import primitives as prim
-from tracer.render import shading
 
 INF = prim.INF
 DIFFUSE, GLASS, MIRROR = 0, 1, 2
 
 
-def _scene_candidates(scene, o, d, time, eps):
-    """All candidate ts in (spheres, squares, meshes) order: [N, S+Q+Nm].
-    Also returns per-mesh tri ids [N, Nm]."""
-    t_sph = prim.sphere_ts(o, d, time, scene.sph_center, scene.sph_radius,
-                           scene.mat_mb[scene.sph_mat], scene.sph_valid, eps)
+def _scene_candidates_p(scene, o, d, a2, time, eps):
+    """All candidate ts in (spheres, squares, meshes) order: [S+Q+Nm, N].
+    o, d planar [N]; a2 = d.d [N]. Also returns per-mesh tri ids [Nm, N]."""
+    t_sph = prim.sphere_ts_planar(o, d, a2, time, scene.sph_center,
+                                  scene.sph_radius,
+                                  scene.mat_mb[scene.sph_mat],
+                                  scene.sph_valid, eps)
     is_glass = (scene.mat_type[scene.quad_mat] == GLASS).astype(jnp.float32)
-    t_quad = prim.quad_ts(o, d, time, scene.quad_v0, scene.quad_er,
-                          scene.quad_eu, scene.quad_normal,
-                          scene.mat_mb[scene.quad_mat], is_glass,
-                          scene.quad_valid, eps)
-    t_mesh_raw, tri_mesh = prim.mesh_closest_hits(o, d, scene, eps)
-    # Scene-level eps cut: a mesh whose *closest* hit is below eps is
-    # rejected wholesale (Scene.h:224) — quirk parity.
-    t_mesh = jnp.where(t_mesh_raw >= eps, t_mesh_raw, INF)
-    return jnp.concatenate([t_sph, t_quad, t_mesh], axis=1), tri_mesh
+    t_quad = prim.quad_ts_planar(o, d, time, scene.quad_v0, scene.quad_er,
+                                 scene.quad_eu, scene.quad_normal,
+                                 scene.mat_mb[scene.quad_mat], is_glass,
+                                 scene.quad_valid, eps)
+    Nm = scene.mesh_mat.shape[0]
+    if Nm > 0:
+        # The BVH walk consumes [N,3] rays (gather-heavy, not lane-bound).
+        t_mesh_raw, tri_mesh = prim.mesh_closest_hits(
+            vp.pack(o), vp.pack(d), scene, eps)
+        # Scene-level eps cut: a mesh whose *closest* hit is below eps is
+        # rejected wholesale (Scene.h:224) — quirk parity.
+        t_mesh = jnp.where(t_mesh_raw >= eps, t_mesh_raw, INF).T  # [Nm,N]
+        tri_mesh = tri_mesh.T
+    else:
+        N = o[0].shape[0]
+        t_mesh = jnp.full((0, N), INF)
+        tri_mesh = jnp.full((0, N), -1, jnp.int32)
+    return jnp.concatenate([t_sph, t_quad, t_mesh], axis=0), tri_mesh
 
 
-def _shadow_blocked(scene, o, d, time, t_light, keys, eps):
+def _scene_candidates(scene, o, d, time, eps):
+    """Array-API wrapper (tests/benchmarks): o,d [N,3] -> t [N, S+Q+Nm],
+    tri ids [N, Nm]."""
+    op, dp = vp.splat(o), vp.splat(d)
+    t_all, tri = _scene_candidates_p(scene, op, dp, vp.dot(dp, dp), time,
+                                     eps)
+    return t_all.T, tri.T
+
+
+def _shadow_blocked_p(scene, o, d, time, t_light, keys, eps):
     """Stochastic-transparency shadow test (Scene::computeShadow,
     Scene.h:235-255): blocked iff ANY occluder with eps <= t < t_light
     passes `uniform() > transparency`. One independent draw per occluder
     (equivalent in distribution to the reference's early-out loop).
 
-    o,d,time,t_light: [K] shadow rays; keys: [K]. Returns blocked [K] f32.
+    o, d planar [M] shadow rays; t_light, keys: [M]. Returns blocked [M].
     """
-    t_all, _ = _scene_candidates(scene, o, d, time, eps)
-    S = scene.sph_center.shape[0]
-    Q = scene.quad_v0.shape[0]
+    t_all, _ = _scene_candidates_p(scene, o, d, vp.dot(d, d), time, eps)
     mat_ids = jnp.concatenate([scene.sph_mat, scene.quad_mat,
                                scene.mesh_mat])
-    transp = scene.mat_transparency[mat_ids]          # [S+Q+Nm]
-    hit = t_all < t_light[:, None]
-    u = rng.uniform(keys, (t_all.shape[1],))
-    blocked = jnp.any(hit & (u > transp[None, :]), axis=1)
+    transp = scene.mat_transparency[mat_ids]          # [K]
+    hit = t_all < t_light[None, :]
+    u = rng.uniform_lanes_leading_p(keys, t_all.shape[0])      # [K, M]
+    blocked = jnp.any(hit & (u > transp[:, None]), axis=0)
     return blocked.astype(jnp.float32)
 
 
-def _gather_hit(scene, o, d, time, j, tri_mesh, eps):
+def _gather_hit_p(scene, o, d, a2, time, j, tri_mesh, eps):
     """Recompute the selected hit differentiably and fetch shading inputs.
 
     j: [N] winning candidate index into (spheres | squares | meshes).
-    Returns dict of per-ray fields. Discrete selection (j, tri ids) is
-    non-differentiable by construction; gradients flow through the analytic
-    re-evaluation of the winning primitive (SURVEY.md §7 'hard parts').
+    Returns dict of per-ray planar fields. Discrete selection (j, tri ids)
+    is non-differentiable by construction; gradients flow through the
+    analytic re-evaluation of the winning primitive (SURVEY.md §7).
     """
-    N = o.shape[0]
+    from tracer.render import shading
+
+    N = j.shape[0]
     S = scene.sph_center.shape[0]
     Q = scene.quad_v0.shape[0]
     is_sph = j < S
@@ -96,47 +123,46 @@ def _gather_hit(scene, o, d, time, j, tri_mesh, eps):
 
     # --- sphere branch ---------------------------------------------------
     js = jnp.clip(j, 0, S - 1)
-    sc = scene.sph_center[js]
-    sr = scene.sph_radius[js]
-    smb = scene.mat_mb[scene.sph_mat[js]]
-    _, p_s, n_s, theta, phi = prim.sphere_hit_detail(o, d, time, sc, sr,
-                                                     smb, eps)
     mid_s = scene.sph_mat[js]
+    _, p_s, n_s, theta, phi = prim.sphere_hit_detail_planar(
+        o, d, a2, time, vp.gather(vp.cols(scene.sph_center), js),
+        scene.sph_radius[js], vp.gather(vp.cols(scene.mat_mb), mid_s), eps)
 
     # --- quad branch -----------------------------------------------------
     jq = jnp.clip(j - S, 0, Q - 1)
-    qmb = scene.mat_mb[scene.quad_mat[jq]]
-    _, p_q, n_q, u_q, v_q = prim.quad_hit_detail(
-        o, d, time, scene.quad_v0[jq], scene.quad_er[jq], scene.quad_eu[jq],
-        qmb)
     mid_q = scene.quad_mat[jq]
+    _, p_q, n_q, u_q, v_q = prim.quad_hit_detail_planar(
+        o, d, time, vp.gather(vp.cols(scene.quad_v0), jq),
+        vp.gather(vp.cols(scene.quad_er), jq),
+        vp.gather(vp.cols(scene.quad_eu), jq),
+        vp.gather(vp.cols(scene.mat_mb), mid_q))
 
     # --- mesh branch -----------------------------------------------------
     Nm = scene.mesh_mat.shape[0]
     if Nm > 0:
         jm = jnp.clip(j - S - Q, 0, Nm - 1)
-        tid = jnp.take_along_axis(tri_mesh, jm[:, None], axis=1)[:, 0]
+        tid = jnp.take_along_axis(tri_mesh, jm[None, :], axis=0)[0]
         tid = jnp.clip(tid, 0, scene.tri_a.shape[0] - 1)
-        _, p_m, n_m, w0, w1, w2 = prim.triangle_hit_detail(
-            o, d, scene.tri_a[tid], scene.tri_b[tid], scene.tri_c[tid])
+        _, p_m, n_m, w0, w1, w2 = prim.triangle_hit_detail_planar(
+            o, d, vp.gather(vp.cols(scene.tri_a), tid),
+            vp.gather(vp.cols(scene.tri_b), tid),
+            vp.gather(vp.cols(scene.tri_c), tid))
         mid_m = scene.mesh_mat[jm]
-        col_m = (w0[:, None] * scene.tri_col_a[tid]
-                 + w1[:, None] * scene.tri_col_b[tid]
-                 + w2[:, None] * scene.tri_col_c[tid])
+        ca = vp.gather(vp.cols(scene.tri_col_a), tid)
+        cb = vp.gather(vp.cols(scene.tri_col_b), tid)
+        cc = vp.gather(vp.cols(scene.tri_col_c), tid)
+        col_m = tuple(w0 * ca[i] + w1 * cb[i] + w2 * cc[i] for i in range(3))
         has_col = scene.tri_has_col[tid]
     else:
-        p_m = jnp.zeros_like(o)
-        n_m = jnp.zeros_like(o)
+        zero = vp.full_like(o, 0.0)
+        p_m = n_m = col_m = zero
         mid_m = jnp.zeros(N, jnp.int32)
-        col_m = jnp.zeros_like(o)
         has_col = jnp.zeros(N, jnp.float32)
 
     # --- select ----------------------------------------------------------
     mid = jnp.where(is_sph, mid_s, jnp.where(is_quad, mid_q, mid_m))
-    p = jnp.where(is_sph[:, None], p_s,
-                  jnp.where(is_quad[:, None], p_q, p_m))
-    n = jnp.where(is_sph[:, None], n_s,
-                  jnp.where(is_quad[:, None], n_q, n_m))
+    p = vp.where(is_sph, p_s, vp.where(is_quad, p_q, p_m))
+    n = vp.where(is_sph, n_s, vp.where(is_quad, n_q, n_m))
 
     # texture coordinates: spheres use (phi/2pi, theta/pi) for both texture
     # and emission (Scene.h:275-277); squares use (u, v).
@@ -145,83 +171,91 @@ def _gather_hit(scene, o, d, time, j, tri_mesh, eps):
 
     # diffuse after texturing (Scene.h:275/283) — meshes ignore textures and
     # use interpolated vertex/face colors when present (Scene.h:291-298).
-    base = scene.mat_diffuse[mid]
-    textured = shading.texture_color(scene, mid, u_tex, v_tex, base)
-    diffuse = jnp.where(is_mesh[:, None],
-                        jnp.where(has_col[:, None] > 0.5, col_m, base),
-                        textured)
+    base = vp.gather(vp.cols(scene.mat_diffuse), mid)
+    textured = shading.texture_color_p(scene, mid, u_tex, v_tex, base)
+    diffuse = vp.where(is_mesh, vp.where(has_col > 0.5, col_m, base),
+                       textured)
 
     # normal mapping — squares only (Scene.h:284, sphere call commented out)
-    n_mapped = shading.perturb_normal(scene, mid, u_tex, v_tex,
-                                      scene.quad_tan[jq],
-                                      scene.quad_bitan[jq], n)
-    n = jnp.where(is_quad[:, None], n_mapped, n)
+    n_mapped = shading.perturb_normal_p(
+        scene, mid, u_tex, v_tex, vp.gather(vp.cols(scene.quad_tan), jq),
+        vp.gather(vp.cols(scene.quad_bitan), jq), n)
+    n = vp.where(is_quad, n_mapped, n)
 
     # emission — spheres and squares only (Scene.h:277,285)
-    emis = shading.emission_color(scene, mid, u_tex, v_tex)
-    emis = jnp.where(is_mesh[:, None], 0.0, emis)
+    emis = shading.emission_color_p(scene, mid, u_tex, v_tex)
+    emis = vp.where(is_mesh, vp.full_like(emis, 0.0), emis)
 
     return dict(mid=mid, p=p, n=n, diffuse=diffuse, emission=emis,
                 u=u_tex, v=v_tex)
 
 
-def _direct_lighting(scene, cfg: RenderConfig, p, n, d_in, time, mid, diffuse,
-                     keys, eps):
-    """Per-light Lambert + NB_ECH soft-shadow rays (Scene.h:305-334)."""
-    N = p.shape[0]
+def _direct_lighting_p(scene, cfg: RenderConfig, p, n, time, mid, diffuse,
+                       keys, eps):
+    """Per-light Lambert + NB_ECH soft-shadow rays (Scene.h:305-334).
+    p, n, diffuse planar [N]; returns planar color [N]."""
+    N = p[0].shape[0]
     L = scene.light_pos.shape[0]
     K = cfg.shadow_rays
     ref = cfg.compat == "reference"
-    color = jnp.zeros((N, 3), jnp.float32)
+    color = vp.full_like(p, 0.0)
     transp = scene.mat_transparency[mid]
     for i in range(L):
-        lpos = scene.light_pos[i]
-        ldir = normalize(lpos[None, :] - p)
-        dotLN = dot(ldir, n)
-        lcol = scene.light_color[0] if ref else scene.light_color[i]
-        contrib = (lcol[None, :] * diffuse
-                   * jnp.maximum(0.0, dotLN)[:, None]
-                   * (1.0 - transp)[:, None])
+        lpos = tuple(scene.light_pos[i, a] for a in range(3))   # scalars
+        ldir = vp.normalize(vp.sub(lpos, p))
+        dotLN = vp.dot(ldir, n)
+        lcol_row = scene.light_color[0] if ref else scene.light_color[i]
+        lam = jnp.maximum(0.0, dotLN) * (1.0 - transp)
+        contrib = tuple(lcol_row[a] * diffuse[a] * lam for a in range(3))
 
-        # soft shadows: K jittered samples toward the light sphere
+        # soft shadows: K jittered samples toward the light sphere.
+        # Stack the K shadow rays into the leading axis -> [K*N] planar.
         skeys = rng.salted(keys, rng.SHADOW_LIGHT_POS, i)
-        if ref:
-            ruv = rng.cube_unit_vector(skeys, (K,))          # [N,K,3]
-        else:
-            ruv = rng.sphere_unit_vector(skeys, (K,))
         delta = scene.light_radius[i] / 2.0
-        lp = lpos[None, None, :] + ruv * delta               # [N,K,3]
-        off = lp - p[:, None, :]
-        t_light = jnp.linalg.norm(off, axis=-1)              # [N,K]
-        sdir = off / jnp.maximum(t_light, 1e-20)[..., None]
-        so = p[:, None, :] + sdir * cfg.epsilon
-        bkeys = rng.lane_keys(rng.salted(keys, rng.SHADOW_BERNOULLI, i), K)
-        blocked = _shadow_blocked(
-            scene, so.reshape(N * K, 3), sdir.reshape(N * K, 3),
-            jnp.repeat(time, K), t_light.reshape(N * K),
-            bkeys.reshape(N * K), eps).reshape(N, K)
-        shadow = 1.0 - jnp.mean(blocked, axis=1)
+        offs, tls, keys_k = [], [], []
+        for k in range(K):
+            ruv = (rng.cube_unit_vector_lane_p(skeys, k) if ref
+                   else rng.sphere_unit_vector_lane_p(skeys, k))
+            lp = vp.axpy(delta, ruv, lpos)
+            off = vp.sub(lp, p)
+            offs.append(off)
+            tls.append(vp.norm(off))
+            keys_k.append(rng.uniform_lane_key_p(
+                rng.salted(keys, rng.SHADOW_BERNOULLI, i), k))
+        off = tuple(jnp.stack([offs[k][a] for k in range(K)])
+                    .reshape(K * N) for a in range(3))
+        t_light = jnp.stack(tls).reshape(K * N)
+        bkeys = jnp.stack(keys_k).reshape(K * N)
+        inv = 1.0 / jnp.maximum(t_light, 1e-20)
+        sdir = vp.scale(inv, off)
+        p_rep = tuple(jnp.broadcast_to(p[a][None, :], (K, N))
+                      .reshape(K * N) for a in range(3))
+        so = vp.axpy(cfg.epsilon, sdir, p_rep)
+        t_rep = jnp.broadcast_to(time[None, :], (K, N)).reshape(K * N)
+        blocked = _shadow_blocked_p(scene, so, sdir, t_rep, t_light, bkeys,
+                                    eps).reshape(K, N)
+        shadow = 1.0 - jnp.mean(blocked, axis=0)
         if ref:
             # quirk: multiplies everything accumulated so far (Scene.h:333)
-            color = (color + contrib) * shadow[:, None]
+            color = vp.scale(shadow, vp.add(color, contrib))
         else:
-            color = color + contrib * shadow[:, None]
+            color = vp.add(color, vp.mul(contrib, (shadow,) * 3))
     return color
 
 
-def _scatter(scene, cfg: RenderConfig, d, n, p, mid, keys):
-    """Material::scatter (Material.cpp:26-60), branchless."""
+def _scatter_p(scene, cfg: RenderConfig, d, n, p, mid, keys):
+    """Material::scatter (Material.cpp:26-60), branchless planar."""
     ref = cfg.compat == "reference"
     mtype = scene.mat_type[mid]
     ior = scene.mat_ior[mid]
 
     # glass
-    going_out = dot(d, n) > 0.0
+    going_out = vp.dot(d, n) > 0.0
     if ref:
         ri = jnp.where(going_out, 1.0 / ior, ior)     # inverted-eta quirk
     else:
         ri = jnp.where(going_out, ior, 1.0 / ior)
-    cos_t = jnp.minimum(dot(-d, n), 1.0)
+    cos_t = jnp.minimum(-vp.dot(d, n), 1.0)
     sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
     if ref:
         cannot = (ri * sin_t - 0.6) > 1.0             # -0.6 fudge quirk
@@ -229,23 +263,20 @@ def _scatter(scene, cfg: RenderConfig, d, n, p, mid, keys):
         cannot = (ri * sin_t) > 1.0
     u_glass = rng.uniform(rng.salted(keys, rng.SCATTER_GLASS))
     use_reflect = cannot | (schlick_reflectance(cos_t, ri) > u_glass)
-    d_glass = jnp.where(use_reflect[:, None], reflect(d, n),
-                        refract(d, n, ri))
+    d_glass = vp.where(use_reflect, vp.reflect(d, n), vp.refract(d, n, ri))
 
     # diffuse
-    ruv = (rng.cube_unit_vector(rng.salted(keys, rng.SCATTER_DIR)) if ref
-           else rng.sphere_unit_vector(rng.salted(keys, rng.SCATTER_DIR)))
-    d_diff = n + ruv
-    tiny = jnp.linalg.norm(d_diff, axis=-1) <= cfg.epsilon
-    d_diff = jnp.where(tiny[:, None], n, d_diff)
+    skey = rng.salted(keys, rng.SCATTER_DIR)
+    ruv = (rng.cube_unit_vector_p(skey) if ref
+           else rng.sphere_unit_vector_p(skey))
+    d_diff = vp.add(n, ruv)
+    tiny = vp.norm(d_diff) <= cfg.epsilon
+    d_diff = vp.where(tiny, n, d_diff)
 
-    d_mirror = reflect(d, n)
-
-    d_out = jnp.where((mtype == GLASS)[:, None], d_glass,
-                      jnp.where((mtype == MIRROR)[:, None], d_mirror,
-                                d_diff))
-    d_out = normalize(d_out)
-    o_out = p + cfg.epsilon * d_out
+    d_out = vp.where(mtype == GLASS, d_glass,
+                     vp.where(mtype == MIRROR, vp.reflect(d, n), d_diff))
+    d_out = vp.normalize(d_out)
+    o_out = vp.axpy(cfg.epsilon, d_out, p)
     return o_out, d_out
 
 
@@ -255,9 +286,13 @@ def trace(scene, cfg: RenderConfig, o, d, time, keys):
     o,d: [N,3]; time: [N]; keys: [N] per-ray PRNG keys (pixel+sample
     folded). Equivalent of Scene::rayTrace (Scene.h:345-350) over a batch.
     """
-    N = o.shape[0]
+    from tracer.render import shading
+
     eps = cfg.epsilon
     B = cfg.max_bounces
+    ref = cfg.compat == "reference"
+
+    op, dp = vp.splat(o), vp.splat(d)
 
     # The initial carry is derived from the ray inputs (not fresh
     # constants) so that under shard_map it carries the same
@@ -266,13 +301,13 @@ def trace(scene, cfg: RenderConfig, o, d, time, keys):
     # input guaranteed to vary over every mesh axis (o may be a broadcast
     # camera position, which is replicated), so everything is promoted
     # through a zero multiple of it.
-    zero3 = d * 0.0 + o * 0.0
-    zero1 = zero3[:, 0] + time * 0.0
+    zero = dp[0] * 0.0 + op[0] * 0.0 + time * 0.0
+    z3 = (zero, zero, zero)
     state = dict(
-        o=o + zero3, d=d, time=time + zero1,
-        throughput=zero3 + 1.0,
-        active=zero1 == 0.0,
-        acc=zero3,
+        o=vp.add(op, z3), d=dp, time=time + zero,
+        throughput=tuple(zero + 1.0 for _ in range(3)),
+        active=zero == 0.0,
+        acc=z3,
     )
 
     def bounce(state, b):
@@ -283,41 +318,44 @@ def trace(scene, cfg: RenderConfig, o, d, time, keys):
         n_rem = B - b  # NRemainingBounces at this depth
 
         bkeys = rng.salted(keys, b)
+        a2 = vp.dot(d, d)
 
-        t_all, tri_mesh = _scene_candidates(scene, o, d, time, eps)
-        j = jnp.argmin(t_all, axis=1)
-        tmin = jnp.take_along_axis(t_all, j[:, None], axis=1)[:, 0]
+        t_all, tri_mesh = _scene_candidates_p(scene, o, d, a2, time, eps)
+        j = jnp.argmin(t_all, axis=0)
+        tmin = jnp.min(t_all, axis=0)
         miss = tmin >= INF * 0.5
 
         # sky on miss (Scene.h:300-303)
-        sky = shading.skybox_color(scene, d, jnp.full(N, n_rem),
-                                   cfg.compat == "reference")
-        acc = acc + jnp.where((active & miss)[:, None],
-                              throughput * sky, 0.0)
+        sky = shading.skybox_color_p(
+            scene, d, jnp.broadcast_to(n_rem, zero.shape), ref)
+        sky_w = jnp.where(active & miss, 1.0, 0.0)
+        acc = tuple(acc[a] + sky_w * throughput[a] * sky[a]
+                    for a in range(3))
 
-        hit = _gather_hit(scene, o, d, time, j, tri_mesh, eps)
+        hit = _gather_hit_p(scene, o, d, a2, time, j, tri_mesh, eps)
         live = active & ~miss
 
-        direct = _direct_lighting(scene, cfg, hit["p"], hit["n"], d, time,
-                                  hit["mid"], hit["diffuse"], bkeys, eps)
-        acc = acc + jnp.where(live[:, None],
-                              throughput * (direct + hit["emission"]), 0.0)
+        direct = _direct_lighting_p(scene, cfg, hit["p"], hit["n"], time,
+                                    hit["mid"], hit["diffuse"], bkeys, eps)
+        live_w = jnp.where(live, 1.0, 0.0)
+        acc = tuple(acc[a] + live_w * throughput[a]
+                    * (direct[a] + hit["emission"][a]) for a in range(3))
 
-        o2, d2 = _scatter(scene, cfg, d, hit["n"], hit["p"], hit["mid"],
-                          bkeys)
+        o2, d2 = _scatter_p(scene, cfg, d, hit["n"], hit["p"], hit["mid"],
+                            bkeys)
         state = dict(
-            o=jnp.where(live[:, None], o2, o),
-            d=jnp.where(live[:, None], d2, d),
+            o=vp.where(live, o2, o),
+            d=vp.where(live, d2, d),
             time=time,
-            throughput=jnp.where(live[:, None],
-                                 throughput * hit["diffuse"], throughput),
+            throughput=vp.where(live, vp.mul(throughput, hit["diffuse"]),
+                                throughput),
             active=live,
             acc=acc,
         )
         return state, None
 
     state, _ = jax.lax.scan(bounce, state, jnp.arange(B))
-    out = state["acc"]
-    if cfg.compat == "reference":
+    out = vp.pack(state["acc"])
+    if ref:
         out = out / jnp.float32(B)  # Scene.h:347-349 quirk
     return out

@@ -124,3 +124,98 @@ def skybox_color(scene, d, n_remaining, compat_reference: bool):
     grad = ((1.0 - a)[:, None] * white[None, :]
             + a[:, None] * blue[None, :] * scale[:, None])
     return grad * (1.0 - scene.dark_sky)
+
+
+# ---------------------------------------------------------------------------
+# Planar variants — the integrator hot path (see tracer/core/vec3p.py).
+# Colors/normals are (r,g,b)/(x,y,z) tuples of [N]; same semantics as the
+# array versions above, which remain for unit tests.
+# ---------------------------------------------------------------------------
+
+from tracer.core import vec3p as vp  # noqa: E402
+
+
+def _atlas_fetch_p(data, off, w, h, slot, u, v, scale_x, scale_y):
+    """Planar twin of _atlas_fetch: returns ((r,g,b) [N], present [N])."""
+    W = w[slot]
+    H = h[slot]
+    present = (W > 0) & (H > 0)
+    uu = cpp_fmod(u * scale_x, 1.0)
+    vv = 1.0 - cpp_fmod(v * scale_y, 1.0)
+    x = jnp.trunc(uu * (W - 1).astype(jnp.float32)).astype(jnp.int32)
+    y = jnp.trunc(vv * (H - 1).astype(jnp.float32)).astype(jnp.int32)
+    x = jnp.clip(x, 0, jnp.maximum(W - 1, 0))
+    y = jnp.clip(y, 0, jnp.maximum(H - 1, 0))
+    idx = jnp.clip(off[slot] + y * W + x, 0, data.shape[0] - 1)
+    return vp.gather(vp.cols(data), idx), present
+
+
+def _magenta_checker_p(u, v):
+    """Missing-image fallback (Material.cpp:74-81), planar."""
+    same = trunc_mod2(u * 8.0) == trunc_mod2(v * 8.0)
+    on = jnp.where(same, 0.0, 1.0)
+    return (on, jnp.zeros_like(on), on)
+
+
+def texture_color_p(scene, mid, u, v, base):
+    """Planar Material::texture — `base` is a planar color."""
+    textype = scene.mat_textype[mid]
+    sx = scene.mat_texscale[:, 0][mid]
+    sy = scene.mat_texscale[:, 1][mid]
+    same = trunc_mod2(u * sx) == trunc_mod2(v * sy)
+    checker = vp.where(same, vp.gather(vp.cols(scene.mat_check1), mid),
+                       vp.gather(vp.cols(scene.mat_check2), mid))
+    slot = scene.mat_tex[mid]
+    img, present = _atlas_fetch_p(scene.tex_data, scene.tex_off, scene.tex_w,
+                                  scene.tex_h, slot, u, v, sx, sy)
+    img = vp.where(present, img, _magenta_checker_p(u, v))
+    out = vp.where(textype == TEX_CHECKERBOARD, checker, base)
+    return vp.where(textype == TEX_IMAGE, img, out)
+
+
+def emission_color_p(scene, mid, u, v):
+    """Planar Material::emit."""
+    textype = scene.mat_textype[mid]
+    lc = vp.gather(vp.cols(scene.mat_light_color), mid)
+    tex = texture_color_p(scene, mid, u, v, lc)
+    col = vp.where(textype == TEX_NONE, lc, tex)
+    k = scene.mat_light_intensity[mid] * scene.mat_emissive[mid]
+    return vp.scale(k, col)
+
+
+def perturb_normal_p(scene, mid, u, v, tangent, bitangent, normal):
+    """Planar Material::get_normal (normal mapping; quirk parity as above)."""
+    slot = scene.mat_nm[mid]
+    sx = scene.mat_texscale[:, 0][mid]
+    sy = scene.mat_texscale[:, 1][mid]
+    raw, present = _atlas_fetch_p(scene.nm_data, scene.nm_off, scene.nm_w,
+                                  scene.nm_h, slot, u, v, sx, sy)
+    nm = tuple(2.0 * c - 1.0 for c in raw)
+    n2 = vp.normalize(tuple(
+        nm[0] * tangent[i] + nm[1] * bitangent[i] + nm[2] * normal[i]
+        for i in range(3)))
+    use = present & (slot > 0)
+    return vp.where(use, n2, normal)
+
+
+def skybox_color_p(scene, d, n_remaining, compat_reference: bool):
+    """Planar Scene::skyboxTexture (Scene.h:149-161)."""
+    if scene.has_sky_image:
+        u = 0.5 + jnp.arctan2(d[2], d[0]) / (2.0 * jnp.pi)
+        v = 0.5 - jnp.arcsin(jnp.clip(d[1], -1.0, 1.0)) / jnp.pi
+        x = jnp.clip((u * scene.sky_w.astype(jnp.float32)).astype(jnp.int32),
+                     0, scene.sky_w - 1)
+        y = jnp.clip((v * scene.sky_h.astype(jnp.float32)).astype(jnp.int32),
+                     0, scene.sky_h - 1)
+        idx = jnp.clip(y * scene.sky_w + x, 0, scene.sky_data.shape[0] - 1)
+        col = vp.gather(vp.cols(scene.sky_data), idx)
+        if compat_reference:
+            col = vp.scale(n_remaining.astype(jnp.float32), col)
+        return col
+    a = 0.5 * (d[1] + 1.0)
+    scale = (n_remaining.astype(jnp.float32) + 1.0 if compat_reference
+             else 1.0)
+    w = 1.0 - a
+    k = (1.0 - scene.dark_sky)
+    return (k * (w + a * 0.5 * scale), k * (w + a * 0.7 * scale),
+            k * (w + a * 1.0 * scale))
