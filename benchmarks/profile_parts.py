@@ -78,6 +78,10 @@ def main():
 
     from tracer.core import vec3p as vp
 
+    # the tri placeholder below is only valid for mesh-less scenes
+    assert int(np.asarray(scene.mesh_mat).shape[0]) == 0, \
+        "profiled scene must have no meshes (tri placeholder is 0-width)"
+
     def gather(scene, o, d, tm, j):
         tri = jnp.full((0, N), -1, jnp.int32)
         op, dp = vp.splat(o), vp.splat(d)

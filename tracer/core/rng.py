@@ -123,7 +123,10 @@ def cube_unit_vector(keys, shape_suffix=()):
     exactly for distribution parity under compat=reference.
     """
     p = uniform(keys, shape_suffix + (3,), -1.0, 1.0)
-    n = jnp.linalg.norm(p, axis=-1, keepdims=True)
+    # explicit x*x+y*y+z*z (not linalg.norm, which differs by 1 ULP) so the
+    # planar twins below are bit-identical — pinned by tests/test_rng_twins.py
+    n = jnp.sqrt(p[..., 0] * p[..., 0] + p[..., 1] * p[..., 1]
+                 + p[..., 2] * p[..., 2])[..., None]
     return p / jnp.maximum(n, 1e-20)
 
 

@@ -325,11 +325,12 @@ def trace(scene, cfg: RenderConfig, o, d, time, keys):
         tmin = jnp.min(t_all, axis=0)
         miss = tmin >= INF * 0.5
 
-        # sky on miss (Scene.h:300-303)
+        # sky on miss (Scene.h:300-303). where-select (not multiply-by-
+        # weight) so a NaN/Inf on an inactive lane can never poison acc.
         sky = shading.skybox_color_p(
             scene, d, jnp.broadcast_to(n_rem, zero.shape), ref)
-        sky_w = jnp.where(active & miss, 1.0, 0.0)
-        acc = tuple(acc[a] + sky_w * throughput[a] * sky[a]
+        acc = tuple(acc[a] + jnp.where(active & miss,
+                                       throughput[a] * sky[a], 0.0)
                     for a in range(3))
 
         hit = _gather_hit_p(scene, o, d, a2, time, j, tri_mesh, eps)
@@ -337,9 +338,9 @@ def trace(scene, cfg: RenderConfig, o, d, time, keys):
 
         direct = _direct_lighting_p(scene, cfg, hit["p"], hit["n"], time,
                                     hit["mid"], hit["diffuse"], bkeys, eps)
-        live_w = jnp.where(live, 1.0, 0.0)
-        acc = tuple(acc[a] + live_w * throughput[a]
-                    * (direct[a] + hit["emission"][a]) for a in range(3))
+        acc = tuple(acc[a] + jnp.where(
+            live, throughput[a] * (direct[a] + hit["emission"][a]), 0.0)
+            for a in range(3))
 
         o2, d2 = _scatter_p(scene, cfg, d, hit["n"], hit["p"], hit["mid"],
                             bkeys)
