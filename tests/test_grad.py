@@ -105,6 +105,101 @@ def test_grad_albedo():
     _fd_check(get, set_, eps_fd=1e-3, atol=1e-2)
 
 
+def _mesh_scene():
+    """Two triangles sharing an edge (verts 1,2), facing the camera, so the
+    shared-vertex gradient accumulates from both faces."""
+    from tracer.scene.builder import MeshObject
+    sb = SceneBuilder()
+    sb.add_light((-2., 4., 3.), radius=0.0)
+    verts = [(-1.5, -1.0, 0.0), (0.0, -1.0, 0.0), (0.0, 1.0, 0.0),
+             (1.5, -1.0, 0.0)]
+    tris = [(0, 1, 2), (1, 3, 2)]
+    sb.add_mesh(MeshObject(verts, tris,
+                           material=Material(diffuse=(0.7, 0.4, 0.2))))
+    return compile_scene(sb)
+
+
+def test_grad_mesh_vertices():
+    """FD vs AD for shared mesh vertex positions (BASELINE.json lists
+    vertex positions first among differentiable parameters)."""
+    import dataclasses
+    scene = _mesh_scene()
+    # rays through both triangles' interiors (x = -0.4 .. +0.4 around the
+    # shared edge at x=0), away from silhouettes
+    cam = default_camera(aspect=1.0)
+    u = jnp.linspace(0.44, 0.56, 8)
+    v = jnp.full(8, 0.45)
+    o, d = generate_rays(cam, u, v)
+    keys = trng.ray_keys(jax.random.key(0), jnp.arange(8, dtype=jnp.int32))
+
+    def loss_of(verts):
+        s = dataclasses.replace(scene, mesh_verts=verts)
+        return jnp.sum(integrator.trace(s, CFG, o, d, jnp.zeros(8), keys))
+
+    p0 = scene.mesh_verts
+    g_ad = np.asarray(jax.grad(loss_of)(p0), np.float64)
+    # FD over the 4 real vertices (skip the sentinel row)
+    eps = 1e-3
+    g_fd = np.zeros_like(g_ad)
+    p0n = np.asarray(p0, np.float64)
+    for i in range(4):
+        for a in range(3):
+            dp = np.zeros_like(p0n)
+            dp[i, a] = eps
+            lp = float(loss_of(jnp.asarray(p0n + dp, jnp.float32)))
+            lm = float(loss_of(jnp.asarray(p0n - dp, jnp.float32)))
+            g_fd[i, a] = (lp - lm) / (2 * eps)
+    err = np.abs(g_ad[:4] - g_fd[:4])
+    assert (err < 2e-2 + 5e-2 * np.maximum(np.abs(g_fd[:4]), 1.0)).all(), \
+        (g_ad[:4], g_fd[:4])
+    # the shared vertices (1, 2) must see gradient from BOTH faces: their
+    # grads are nonzero and the AD grad sums contributions (FD agrees above)
+    assert np.abs(g_ad[1]).max() > 0 and np.abs(g_ad[2]).max() > 0
+
+
+def test_grad_texels():
+    """FD vs AD for texture-atlas texels (BASELINE config 4:
+    differentiable texel gradients, Material.cpp:82-88)."""
+    import dataclasses
+    sb = SceneBuilder()
+    sb.add_light((0., 0., 5.), radius=0.0)
+    img = (np.arange(4 * 4 * 3).reshape(4, 4, 3) * 5 + 16).astype(np.uint8)
+    tex = sb.add_texture(img)
+    m = Material(diffuse=(1.0, 1.0, 1.0))
+    m.texture_type = 2  # TEX_IMAGE
+    m.texture_id = tex
+    sb.add_square((-1., -1., 0.), (1., 0., 0.), (0., 1., 0.), 4., 4., m)
+    scene = compile_scene(sb)
+
+    cam = default_camera(aspect=1.0)
+    u = jnp.linspace(0.35, 0.65, 6)
+    v = jnp.full(6, 0.5)
+    o, d = generate_rays(cam, u, v)
+    keys = trng.ray_keys(jax.random.key(0), jnp.arange(6, dtype=jnp.int32))
+
+    def loss_of(tex_data):
+        s = dataclasses.replace(scene, tex_data=tex_data)
+        return jnp.sum(integrator.trace(s, CFG, o, d, jnp.zeros(6), keys))
+
+    p0 = scene.tex_data
+    g_ad = np.asarray(jax.grad(loss_of)(p0), np.float64)
+    assert np.abs(g_ad).max() > 0, "no texel gradient at all"
+    # FD on the texels AD says are touched (nearest-texel gather: only a few)
+    touched = np.argwhere(np.abs(g_ad).sum(axis=1) > 0)[:, 0]
+    assert touched.size >= 2
+    p0n = np.asarray(p0, np.float64)
+    eps = 1e-3
+    for i in touched[:4]:
+        for a in range(3):
+            dp = np.zeros_like(p0n)
+            dp[i, a] = eps
+            lp = float(loss_of(jnp.asarray(p0n + dp, jnp.float32)))
+            lm = float(loss_of(jnp.asarray(p0n - dp, jnp.float32)))
+            fd = (lp - lm) / (2 * eps)
+            assert abs(g_ad[i, a] - fd) < 1e-2 + 5e-2 * max(abs(fd), 1.0), \
+                (i, a, g_ad[i, a], fd)
+
+
 def test_grad_camera_position():
     scene = _simple_scene()
     cam = default_camera(aspect=1.0)

@@ -118,7 +118,8 @@ def train_step(scene, camera: Camera, cfg: RenderConfig, width: int,
     """
     import dataclasses
 
-    trainable = ("sph_center", "sph_radius", "mat_diffuse", "tex_data")
+    trainable = ("sph_center", "sph_radius", "mat_diffuse", "tex_data",
+                 "mesh_verts")
 
     def loss_fn(params, cam_pos):
         scene_ = dataclasses.replace(scene, **params)

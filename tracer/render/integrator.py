@@ -143,10 +143,14 @@ def _gather_hit_p(scene, o, d, a2, time, j, tri_mesh, eps):
         jm = jnp.clip(j - S - Q, 0, Nm - 1)
         tid = jnp.take_along_axis(tri_mesh, jm[None, :], axis=0)[0]
         tid = jnp.clip(tid, 0, scene.tri_a.shape[0] - 1)
+        # gather corners via the SHARED vertex table (not the baked tri_a/b/c
+        # copies) so vertex gradients scatter-add onto mesh_verts — one
+        # gradient per shared vertex (reference Mesh.h:111-124)
+        vcols = vp.cols(scene.mesh_verts)
         _, p_m, n_m, w0, w1, w2 = prim.triangle_hit_detail_planar(
-            o, d, vp.gather(vp.cols(scene.tri_a), tid),
-            vp.gather(vp.cols(scene.tri_b), tid),
-            vp.gather(vp.cols(scene.tri_c), tid))
+            o, d, vp.gather(vcols, scene.tri_va[tid]),
+            vp.gather(vcols, scene.tri_vb[tid]),
+            vp.gather(vcols, scene.tri_vc[tid]))
         mid_m = scene.mesh_mat[jm]
         ca = vp.gather(vp.cols(scene.tri_col_a), tid)
         cb = vp.gather(vp.cols(scene.tri_col_b), tid)

@@ -52,9 +52,18 @@ class DeviceScene:
     quad_valid: jnp.ndarray      # [Q] f32
 
     # --- triangle soup (all meshes, pre-scaled by TRIANGLE_SCALING) ------
+    # tri_a/b/c are baked per-corner copies used by the (non-differentiable)
+    # BVH traversal/selection; mesh_verts + tri_v{a,b,c} are the shared
+    # vertex table the differentiable hit re-evaluation gathers from, so a
+    # vertex shared by many triangles accumulates ONE gradient
+    # (reference: Mesh.h:111-124 — verts are a trainable parameter).
     tri_a: jnp.ndarray           # [T, 3]
     tri_b: jnp.ndarray           # [T, 3]
     tri_c: jnp.ndarray           # [T, 3]
+    mesh_verts: jnp.ndarray      # [V, 3] (scaled; last row = sentinel zeros)
+    tri_va: jnp.ndarray          # [T] i32 index into mesh_verts
+    tri_vb: jnp.ndarray          # [T] i32
+    tri_vc: jnp.ndarray          # [T] i32
     tri_mesh: jnp.ndarray        # [T] i32 mesh id
     tri_col_a: jnp.ndarray       # [T, 3] per-corner color (vertex or face)
     tri_col_b: jnp.ndarray       # [T, 3]
@@ -234,6 +243,8 @@ def compile_scene(sb: B.SceneBuilder, leaf_width: int = 4,
 
     # ---- meshes / triangle soup ----------------------------------------
     tri_a_l, tri_b_l, tri_c_l = [], [], []
+    verts_l, tri_va_l, tri_vb_l, tri_vc_l = [], [], [], []
+    vert_cursor = 0
     tri_mesh_l, tca, tcb, tcc, thc = [], [], [], [], []
     mesh_mat_l = []
     bvh_lo_l, bvh_hi_l, bvh_ls_l, bvh_skip_l, leaf_tris_l = [], [], [], [], []
@@ -248,6 +259,11 @@ def compile_scene(sb: B.SceneBuilder, leaf_width: int = 4,
         tri_a_l.append(v[t[:, 0]])
         tri_b_l.append(v[t[:, 1]])
         tri_c_l.append(v[t[:, 2]])
+        verts_l.append(v.astype(np.float32))
+        tri_va_l.append(t[:, 0].astype(np.int32) + vert_cursor)
+        tri_vb_l.append(t[:, 1].astype(np.int32) + vert_cursor)
+        tri_vc_l.append(t[:, 2].astype(np.int32) + vert_cursor)
+        vert_cursor += v.shape[0]
         tri_mesh_l.append(np.full(t.shape[0], mi, np.int32))
         if m.vert_colors is not None:
             tca.append(m.vert_colors[t[:, 0]])
@@ -297,6 +313,14 @@ def compile_scene(sb: B.SceneBuilder, leaf_width: int = 4,
     tri_a = cat3(tri_a_l)
     tri_b = cat3(tri_b_l)
     tri_c = cat3(tri_c_l)
+    # shared vertex table + sentinel zeros row; the soup's sentinel triangle
+    # points at it so the last tri row stays degenerate
+    mesh_verts = cat3(verts_l)
+    V = mesh_verts.shape[0] - 1
+    sent = np.full(1, V, np.int32)
+    tri_va = np.concatenate(tri_va_l + [sent]).astype(np.int32)
+    tri_vb = np.concatenate(tri_vb_l + [sent]).astype(np.int32)
+    tri_vc = np.concatenate(tri_vc_l + [sent]).astype(np.int32)
     tri_mesh = np.concatenate(tri_mesh_l + [np.zeros(1, np.int32)])
     tri_col_a = cat3(tca)
     tri_col_b = cat3(tcb)
@@ -369,6 +393,8 @@ def compile_scene(sb: B.SceneBuilder, leaf_width: int = 4,
         quad_bitan=jf(quad_bitan), quad_mat=jf(quad_mat),
         quad_valid=jf(quad_valid),
         tri_a=jf(tri_a), tri_b=jf(tri_b), tri_c=jf(tri_c),
+        mesh_verts=jf(mesh_verts), tri_va=jf(tri_va), tri_vb=jf(tri_vb),
+        tri_vc=jf(tri_vc),
         tri_mesh=jf(tri_mesh), tri_col_a=jf(tri_col_a),
         tri_col_b=jf(tri_col_b), tri_col_c=jf(tri_col_c),
         tri_has_col=jf(tri_has_col),
