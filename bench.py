@@ -41,7 +41,7 @@ def timeit(jfn, args, reps):
 def main():
     from tracer.core.config import RenderConfig
     from tracer.core import rng
-    from tracer.render.renderer import render_batch
+    from tracer.render.renderer import render_batch, render_pixels
     from tracer.render.camera import default_camera
     from tracer.scene.device import compile_scene
     from tracer.scenes import zoo
@@ -62,13 +62,13 @@ def main():
     # NB: pixel_ids/base_key are jit ARGUMENTS, never closure captures — a
     # captured device array flips this environment's TPU runtime into
     # synchronous dispatch for the rest of the process.
+    # `render_pixels` IS the product path the CLI render uses (one compiled
+    # frame chunk, lax.map over samples) — the bench measures that path.
     def frame(scene, camera, pixel_ids, base_key):
-        def one(s):
-            return render_batch(scene, camera, cfg, width, height,
-                                pixel_ids, s, base_key)
-        rad = jax.lax.map(one, jnp.arange(spp, dtype=jnp.int32))
+        acc = render_pixels(scene, camera, cfg, width, height, pixel_ids,
+                            spp, base_key)
         # reduce to a scalar so the timed fetch is 4 bytes, not the frame
-        return jnp.mean(jnp.sum(rad, 0) / spp)
+        return jnp.mean(acc / spp)
 
     dt, _ = timeit(jax.jit(frame), (scene, camera, pixel_ids, base_key), reps)
 

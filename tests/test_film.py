@@ -46,3 +46,39 @@ def test_tile_manifest_resume_exact(tmp_path):
 
     img = m.assemble(2, gamma=False)
     assert np.allclose(img.reshape(-1, 3), full, atol=1e-6)
+
+
+def test_render_ckpt_resume_end_to_end(tmp_path):
+    """CLI-reachable resume: render --ckpt-dir produces the same image as a
+    direct render, a partially-populated store re-renders ONLY missing
+    tiles, and a second run is a pure skip (VERDICT r1 item 5)."""
+    import os
+    from tracer.core.config import RenderConfig
+    from tracer.render.camera import default_camera
+    from tracer.render.renderer import render
+    from tracer.scene.device import compile_scene
+    from tracer.scenes import zoo
+
+    scene = compile_scene(zoo.setup_single_sphere())
+    cam = default_camera(aspect=48 / 32)
+    cfg = RenderConfig(nsamples=2, width=48, height=32, max_bounces=2,
+                       shadow_rays=2)
+    img_direct = render(scene, cam, cfg)
+
+    d = str(tmp_path / "ckpt")
+    img_tiled = render(scene, cam, cfg, ckpt_dir=d, tile=16)
+    assert np.allclose(img_direct, img_tiled, atol=1e-6)
+
+    # simulate a crash: delete half the tiles, resume re-creates only them
+    tiles = sorted(os.listdir(d))
+    assert len(tiles) == 6
+    removed = tiles[::2]
+    for t in removed:
+        os.remove(os.path.join(d, t))
+    kept_mtimes = {t: os.path.getmtime(os.path.join(d, t))
+                   for t in tiles if t not in removed}
+    img_resumed = render(scene, cam, cfg, ckpt_dir=d, tile=16)
+    assert np.array_equal(img_tiled, img_resumed)
+    for t, mt in kept_mtimes.items():
+        assert os.path.getmtime(os.path.join(d, t)) == mt, \
+            f"tile {t} was re-rendered on resume"

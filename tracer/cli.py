@@ -49,7 +49,8 @@ def cmd_render(args):
     scene = _build(args.scene, args.width, args.height, args.seed)
     cam = default_camera(aspect=args.width / args.height)
     t0 = time.perf_counter()
-    render_image(scene, cam, cfg, args.out, progress=args.progress)
+    render_image(scene, cam, cfg, args.out, progress=args.progress,
+                 ckpt_dir=args.ckpt_dir, tile=args.tile)
     dt = time.perf_counter() - t0
     n_rays = args.width * args.height * args.spp
     print(f"rendered {args.scene} {args.width}x{args.height}@{args.spp}spp "

@@ -175,8 +175,11 @@ def _gather_hit_p(scene, o, d, a2, time, j, tri_mesh, eps):
 
     # diffuse after texturing (Scene.h:275/283) — meshes ignore textures and
     # use interpolated vertex/face colors when present (Scene.h:291-298).
+    # ONE shared atlas fetch serves both texturing and emission below.
+    fetched = shading.tex_image_fetch_p(scene, mid, u_tex, v_tex)
     base = vp.gather(vp.cols(scene.mat_diffuse), mid)
-    textured = shading.texture_color_p(scene, mid, u_tex, v_tex, base)
+    textured = shading.texture_color_p(scene, mid, u_tex, v_tex, base,
+                                       fetched)
     diffuse = vp.where(is_mesh, vp.where(has_col > 0.5, col_m, base),
                        textured)
 
@@ -187,7 +190,7 @@ def _gather_hit_p(scene, o, d, a2, time, j, tri_mesh, eps):
     n = vp.where(is_quad, n_mapped, n)
 
     # emission — spheres and squares only (Scene.h:277,285)
-    emis = shading.emission_color_p(scene, mid, u_tex, v_tex)
+    emis = shading.emission_color_p(scene, mid, u_tex, v_tex, fetched)
     emis = vp.where(is_mesh, vp.full_like(emis, 0.0), emis)
 
     return dict(mid=mid, p=p, n=n, diffuse=diffuse, emission=emis,

@@ -6,6 +6,16 @@ pixels x samples grid is a flat ray stream processed in jit-compiled
 device batches (and, via tracer/dist, sharded over a device mesh). Samples
 accumulate into a float film; per-pixel mean + gamma 1/2.2 + clamp
 reproduce main.cpp:193-196 / 258-261.
+
+Fast path: `render_pixels` jits ONE frame-chunk — a `lax.map` over the
+sample axis around the traced batch — so a CLI render pays one dispatch per
+chunk, not one per (sample, chunk) (round-1 bench had to build this frame
+by hand to get honest numbers; now it IS the product path).
+
+Recovery: pass `ckpt_dir` to render through a `TileManifest` — each tile's
+(film_sum, samples_done) is checkpointed atomically, and a restarted render
+re-renders only missing tiles (SURVEY.md §5 failure recovery; the image sum
+is associative, so resume is exact).
 """
 
 from __future__ import annotations
@@ -21,11 +31,11 @@ from tracer.core.config import RenderConfig
 from tracer.core.mathutils import gamma_correct
 from tracer.render import integrator
 from tracer.render.camera import Camera, generate_rays
+from tracer.render.film import TileManifest
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "width", "height"))
-def render_batch(scene, camera: Camera, cfg: RenderConfig, width: int,
-                 height: int, pixel_ids, sample_idx, base_key):
+def _render_batch(scene, camera: Camera, cfg: RenderConfig, width: int,
+                  height: int, pixel_ids, sample_idx, base_key):
     """Radiance for one sample of a batch of pixels. pixel_ids: [N] i32
     (flat y*width + x). Returns [N, 3] linear radiance."""
     keys = rng.ray_keys(base_key, pixel_ids)
@@ -45,39 +55,86 @@ def render_batch(scene, camera: Camera, cfg: RenderConfig, width: int,
     return integrator.trace(scene, cfg, o, d, time, keys)
 
 
+render_batch = jax.jit(_render_batch,
+                       static_argnames=("cfg", "width", "height"))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "width", "height", "nsamples"))
+def render_pixels(scene, camera: Camera, cfg: RenderConfig, width: int,
+                  height: int, pixel_ids, nsamples: int, base_key):
+    """SUM of `nsamples` sample passes for `pixel_ids` — one compiled frame
+    chunk (divide by nsamples for the mean radiance)."""
+    def one(s):
+        return _render_batch(scene, camera, cfg, width, height, pixel_ids,
+                             s, base_key)
+    rad = jax.lax.map(one, jnp.arange(nsamples, dtype=jnp.int32))
+    return jnp.sum(rad, axis=0)
+
+
 def render(scene, camera: Camera, cfg: RenderConfig, width=None, height=None,
-           nsamples=None, progress=False):
-    """Full-frame render -> float32 [H, W, 3] gamma-corrected image."""
+           nsamples=None, progress=False, ckpt_dir=None, tile=128,
+           host=0, n_hosts=1):
+    """Full-frame render -> float32 [H, W, 3] gamma-corrected image.
+
+    With `ckpt_dir`, renders tile-by-tile with atomic per-tile checkpoints
+    and resumes exactly: tiles already done (>= nsamples accumulated) are
+    skipped; the final image is assembled from the tile store. Tile->host
+    assignment is deterministic (tile % n_hosts == host).
+    """
     width = width or cfg.width
     height = height or cfg.height
     nsamples = nsamples or cfg.nsamples
-    n_pix = width * height
     base_key = jax.random.key(cfg.seed)  # typed key: scalar per-ray keys
 
+    if ckpt_dir is not None:
+        return _render_tiled(scene, camera, cfg, width, height, nsamples,
+                             base_key, ckpt_dir, tile, host, n_hosts,
+                             progress)
+
+    n_pix = width * height
     chunk = min(cfg.rays_per_batch, n_pix)
-    # pad pixel ids to a whole number of chunks
     n_chunks = (n_pix + chunk - 1) // chunk
     ids = np.arange(n_chunks * chunk, dtype=np.int32) % n_pix
 
-    film = jnp.zeros((n_pix, 3), jnp.float32)
-    for s in range(nsamples):
-        for c in range(n_chunks):
-            pid = jnp.asarray(ids[c * chunk:(c + 1) * chunk])
-            rad = render_batch(scene, camera, cfg, width, height, pid,
-                               jnp.int32(s), base_key)
-            if n_chunks == 1:
-                film = film + rad
-            else:
-                film = film.at[pid].add(
-                    rad * (jnp.arange(pid.shape[0]) <
-                           (n_pix - c * chunk))[:, None])
+    film = np.zeros((n_pix, 3), np.float32)
+    for c in range(n_chunks):
+        pid = jnp.asarray(ids[c * chunk:(c + 1) * chunk])
+        rad = np.asarray(render_pixels(scene, camera, cfg, width, height,
+                                       pid, nsamples, base_key))
+        lo = c * chunk
+        n_real = min(chunk, n_pix - lo)
+        film[lo:lo + n_real] = rad[:n_real]
         if progress:
-            print(f"  sample {s + 1}/{nsamples}", flush=True)
+            print(f"  chunk {c + 1}/{n_chunks}", flush=True)
 
-    img = film / jnp.float32(nsamples)
-    img = gamma_correct(img)
-    img = jnp.clip(img, 0.0, 1.0)
-    return np.asarray(img).reshape(height, width, 3)
+    img = film / np.float32(nsamples)
+    img = np.asarray(gamma_correct(jnp.asarray(img)))
+    return np.clip(img, 0.0, 1.0).reshape(height, width, 3)
+
+
+def _render_tiled(scene, camera, cfg, width, height, nsamples, base_key,
+                  ckpt_dir, tile, host, n_hosts, progress):
+    man = TileManifest(width, height, tile, ckpt_dir)
+    mine = man.tiles_for_host(host, n_hosts)
+    pad_n = tile * tile
+    for t in mine:
+        if man.done(t, nsamples):
+            if progress:
+                print(f"  tile {t}: already done, skipping", flush=True)
+            continue
+        pids = man.tile_pixels(t)
+        n_real = pids.shape[0]
+        # pad ragged edge tiles to one static shape (single jit cache entry)
+        pid_pad = np.zeros(pad_n, np.int32)
+        pid_pad[:n_real] = pids
+        rad = np.asarray(render_pixels(scene, camera, cfg, width, height,
+                                       jnp.asarray(pid_pad), nsamples,
+                                       base_key))[:n_real]
+        man.save_tile(t, rad, nsamples)
+        if progress:
+            print(f"  tile {t}: rendered {n_real} px", flush=True)
+    return man.assemble(nsamples)
 
 
 def render_image(scene, camera, cfg, path, **kw):

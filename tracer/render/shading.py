@@ -136,7 +136,13 @@ from tracer.core import vec3p as vp  # noqa: E402
 
 
 def _atlas_fetch_p(data, off, w, h, slot, u, v, scale_x, scale_y):
-    """Planar twin of _atlas_fetch: returns ((r,g,b) [N], present [N])."""
+    """Planar twin of _atlas_fetch: returns ((r,g,b) [N], present [N]).
+
+    ONE row-gather `data[idx]` instead of three planar column gathers: the
+    atlas gather is the measured hot spot of the whole bounce loop
+    (benchmarks/gather_exp.py: [P,3] row gather 2.8 ms vs 3x planar 11 ms at
+    N=408K, P=1.24M on v5e), and row cost is width-bound, not column-bound.
+    """
     W = w[slot]
     H = h[slot]
     present = (W > 0) & (H > 0)
@@ -147,7 +153,7 @@ def _atlas_fetch_p(data, off, w, h, slot, u, v, scale_x, scale_y):
     x = jnp.clip(x, 0, jnp.maximum(W - 1, 0))
     y = jnp.clip(y, 0, jnp.maximum(H - 1, 0))
     idx = jnp.clip(off[slot] + y * W + x, 0, data.shape[0] - 1)
-    return vp.gather(vp.cols(data), idx), present
+    return vp.splat(data[idx]), present
 
 
 def _magenta_checker_p(u, v):
@@ -157,34 +163,52 @@ def _magenta_checker_p(u, v):
     return (on, jnp.zeros_like(on), on)
 
 
-def texture_color_p(scene, mid, u, v, base):
-    """Planar Material::texture — `base` is a planar color."""
+def tex_image_fetch_p(scene, mid, u, v):
+    """The (at most ONE) per-bounce texture-atlas fetch, shared by diffuse
+    texturing and emission (both use the same (slot, u, v) index). Statically
+    skipped when the scene has no image textures (atlas = 1-row sentinel):
+    present=False then routes TEX_IMAGE materials to the magenta fallback,
+    exactly as a missing image does (Material.cpp:74-81)."""
+    if scene.tex_data.shape[0] <= 1:
+        z = jnp.zeros_like(u)
+        return (z, z, z), jnp.zeros_like(u, dtype=bool)
+    sx = scene.mat_texscale[:, 0][mid]
+    sy = scene.mat_texscale[:, 1][mid]
+    return _atlas_fetch_p(scene.tex_data, scene.tex_off, scene.tex_w,
+                          scene.tex_h, scene.mat_tex[mid], u, v, sx, sy)
+
+
+def texture_color_p(scene, mid, u, v, base, fetched=None):
+    """Planar Material::texture — `base` is a planar color. Pass `fetched`
+    (from tex_image_fetch_p) to reuse one atlas gather across call sites."""
     textype = scene.mat_textype[mid]
     sx = scene.mat_texscale[:, 0][mid]
     sy = scene.mat_texscale[:, 1][mid]
     same = trunc_mod2(u * sx) == trunc_mod2(v * sy)
     checker = vp.where(same, vp.gather(vp.cols(scene.mat_check1), mid),
                        vp.gather(vp.cols(scene.mat_check2), mid))
-    slot = scene.mat_tex[mid]
-    img, present = _atlas_fetch_p(scene.tex_data, scene.tex_off, scene.tex_w,
-                                  scene.tex_h, slot, u, v, sx, sy)
+    img, present = (fetched if fetched is not None
+                    else tex_image_fetch_p(scene, mid, u, v))
     img = vp.where(present, img, _magenta_checker_p(u, v))
     out = vp.where(textype == TEX_CHECKERBOARD, checker, base)
     return vp.where(textype == TEX_IMAGE, img, out)
 
 
-def emission_color_p(scene, mid, u, v):
+def emission_color_p(scene, mid, u, v, fetched=None):
     """Planar Material::emit."""
     textype = scene.mat_textype[mid]
     lc = vp.gather(vp.cols(scene.mat_light_color), mid)
-    tex = texture_color_p(scene, mid, u, v, lc)
+    tex = texture_color_p(scene, mid, u, v, lc, fetched)
     col = vp.where(textype == TEX_NONE, lc, tex)
     k = scene.mat_light_intensity[mid] * scene.mat_emissive[mid]
     return vp.scale(k, col)
 
 
 def perturb_normal_p(scene, mid, u, v, tangent, bitangent, normal):
-    """Planar Material::get_normal (normal mapping; quirk parity as above)."""
+    """Planar Material::get_normal (normal mapping; quirk parity as above).
+    Statically skipped (no gather) when the scene has no normal maps."""
+    if scene.nm_data.shape[0] <= 1:
+        return normal
     slot = scene.mat_nm[mid]
     sx = scene.mat_texscale[:, 0][mid]
     sy = scene.mat_texscale[:, 1][mid]
@@ -208,7 +232,7 @@ def skybox_color_p(scene, d, n_remaining, compat_reference: bool):
         y = jnp.clip((v * scene.sky_h.astype(jnp.float32)).astype(jnp.int32),
                      0, scene.sky_h - 1)
         idx = jnp.clip(y * scene.sky_w + x, 0, scene.sky_data.shape[0] - 1)
-        col = vp.gather(vp.cols(scene.sky_data), idx)
+        col = vp.splat(scene.sky_data[idx])  # one row gather (see _atlas_fetch_p)
         if compat_reference:
             col = vp.scale(n_remaining.astype(jnp.float32), col)
         return col
