@@ -157,6 +157,11 @@ def main(argv=None):
     r.add_argument("--shadow-rays", type=int, default=10)
     r.add_argument("--out", default="rendu.ppm")
     r.add_argument("--progress", action="store_true")
+    r.add_argument("--ckpt-dir", default=None,
+                   help="tile-checkpoint dir: atomic per-tile saves; "
+                        "re-running resumes, re-rendering only missing tiles")
+    r.add_argument("--tile", type=int, default=128,
+                   help="checkpoint tile size (with --ckpt-dir)")
     r.set_defaults(fn=cmd_render)
 
     pr = sub.add_parser("probe", help="MONORAY single-ray debug probe")
