@@ -99,8 +99,10 @@ def main():
     def b_scatter(scene, c, o, d, tm, j, keys):
         op, dp = vp.splat(o + c), vp.splat(d)
         n = (dp[0] * 0 + 1.0, dp[1] * 0, dp[2] * 0)
-        mid = jnp.zeros(N, jnp.int32)
-        o2, d2 = integrator._scatter_p(scene, cfg, dp, n, op, mid, keys)
+        mtype = jnp.zeros(N, jnp.int32)
+        ior = jnp.ones(N, jnp.float32)
+        o2, d2 = integrator._scatter_p(scene, cfg, dp, n, op, mtype, ior,
+                                       keys)
         return o2[0] + d2[0]
 
     def b_rng_cube(scene, c, keys):

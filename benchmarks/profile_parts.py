@@ -94,7 +94,7 @@ def main():
         h = integrator._gather_hit_p(scene, op, dp, vp.dot(dp, dp), tm, j,
                                      tri, 1e-5)
         return integrator._scatter_p(scene, cfg, dp, h["n"], h["p"],
-                                     h["mid"], keys)[1]
+                                     h["mtype"], h["ior"], keys)[1]
 
     def full_trace(scene, o, d, tm, keys):
         return integrator.trace(scene, cfg, o, d, tm, keys)

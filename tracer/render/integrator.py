@@ -104,6 +104,39 @@ def _shadow_blocked_p(scene, o, d, time, t_light, keys, eps):
     return blocked.astype(jnp.float32)
 
 
+def _geo_packs(scene):
+    """Scene-constant packed parameter tables: ONE row gather per hit ray
+    replaces ~30 per-column gathers (row-gather cost is width-bound up to
+    8+ floats — benchmarks/gather_exp2.py). XLA hoists these concats out of
+    the bounce scan. Material ids ride as f32 columns (exact for ids<2^24).
+    """
+    sph = jnp.concatenate([
+        scene.sph_center, scene.sph_radius[:, None],
+        scene.mat_mb[scene.sph_mat],
+        scene.sph_mat.astype(jnp.float32)[:, None]], axis=1)      # [S, 8]
+    quad = jnp.concatenate([
+        scene.quad_v0, scene.quad_er, scene.quad_eu,
+        scene.mat_mb[scene.quad_mat], scene.quad_tan, scene.quad_bitan,
+        scene.quad_mat.astype(jnp.float32)[:, None]], axis=1)     # [Q, 19]
+    matf = jnp.concatenate([
+        scene.mat_texscale,                                       # 0:2
+        scene.mat_check1, scene.mat_check2,                       # 2:5, 5:8
+        scene.mat_diffuse,                                        # 8:11
+        scene.mat_light_color,                                    # 11:14
+        scene.mat_light_intensity[:, None],                       # 14
+        scene.mat_emissive[:, None],                              # 15
+        scene.mat_transparency[:, None],                          # 16
+        scene.mat_ior[:, None]], axis=1)                          # 17
+    mati = jnp.stack([
+        scene.mat_textype,
+        scene.tex_off[scene.mat_tex], scene.tex_w[scene.mat_tex],
+        scene.tex_h[scene.mat_tex],
+        scene.nm_off[scene.mat_nm], scene.nm_w[scene.mat_nm],
+        scene.nm_h[scene.mat_nm],
+        scene.mat_type, scene.mat_nm], axis=1)                    # [M, 9] i32
+    return sph, quad, matf, mati
+
+
 def _gather_hit_p(scene, o, d, a2, time, j, tri_mesh, eps):
     """Recompute the selected hit differentiably and fetch shading inputs.
 
@@ -121,21 +154,25 @@ def _gather_hit_p(scene, o, d, a2, time, j, tri_mesh, eps):
     is_quad = (j >= S) & (j < S + Q)
     is_mesh = j >= S + Q
 
+    sph_pack, quad_pack, matf, mati = _geo_packs(scene)
+
     # --- sphere branch ---------------------------------------------------
     js = jnp.clip(j, 0, S - 1)
-    mid_s = scene.sph_mat[js]
+    srow = sph_pack[js]                                          # [N, 8]
+    mid_s = srow[:, 7].astype(jnp.int32)
     _, p_s, n_s, theta, phi = prim.sphere_hit_detail_planar(
-        o, d, a2, time, vp.gather(vp.cols(scene.sph_center), js),
-        scene.sph_radius[js], vp.gather(vp.cols(scene.mat_mb), mid_s), eps)
+        o, d, a2, time, (srow[:, 0], srow[:, 1], srow[:, 2]),
+        srow[:, 3], (srow[:, 4], srow[:, 5], srow[:, 6]), eps)
 
     # --- quad branch -----------------------------------------------------
     jq = jnp.clip(j - S, 0, Q - 1)
-    mid_q = scene.quad_mat[jq]
+    qrow = quad_pack[jq]                                         # [N, 19]
+    mid_q = qrow[:, 18].astype(jnp.int32)
     _, p_q, n_q, u_q, v_q = prim.quad_hit_detail_planar(
-        o, d, time, vp.gather(vp.cols(scene.quad_v0), jq),
-        vp.gather(vp.cols(scene.quad_er), jq),
-        vp.gather(vp.cols(scene.quad_eu), jq),
-        vp.gather(vp.cols(scene.mat_mb), mid_q))
+        o, d, time, (qrow[:, 0], qrow[:, 1], qrow[:, 2]),
+        (qrow[:, 3], qrow[:, 4], qrow[:, 5]),
+        (qrow[:, 6], qrow[:, 7], qrow[:, 8]),
+        (qrow[:, 9], qrow[:, 10], qrow[:, 11]))
 
     # --- mesh branch -----------------------------------------------------
     Nm = scene.mesh_mat.shape[0]
@@ -173,40 +210,74 @@ def _gather_hit_p(scene, o, d, a2, time, j, tri_mesh, eps):
     u_tex = jnp.where(is_sph, phi / (2.0 * jnp.pi), u_q)
     v_tex = jnp.where(is_sph, theta / jnp.pi, v_q)
 
+    # packed material row for the hit (one f32 + one i32 row gather)
+    mrf = matf[mid]
+    mri = mati[mid]
+    sx, sy = mrf[:, 0], mrf[:, 1]
+    textype = mri[:, 0]
+
+    # ONE shared atlas fetch serves both diffuse texturing and emission
+    # (Material.cpp:63-92 / 13-24 use the same (slot, u, v) texel).
+    if scene.tex_data.shape[0] > 1:
+        img, present = shading.atlas_fetch_rows_p(
+            scene.tex_data, mri[:, 1], mri[:, 2], mri[:, 3], u_tex, v_tex,
+            sx, sy)
+    else:
+        img = vp.full_like(o, 0.0)
+        present = jnp.zeros(N, bool)
+    from tracer.core.mathutils import trunc_mod2
+    same = trunc_mod2(u_tex * sx) == trunc_mod2(v_tex * sy)
+    checker = vp.where(same, (mrf[:, 2], mrf[:, 3], mrf[:, 4]),
+                       (mrf[:, 5], mrf[:, 6], mrf[:, 7]))
+    img_fb = vp.where(present, img, shading._magenta_checker_p(u_tex, v_tex))
+
     # diffuse after texturing (Scene.h:275/283) — meshes ignore textures and
     # use interpolated vertex/face colors when present (Scene.h:291-298).
-    # ONE shared atlas fetch serves both texturing and emission below.
-    fetched = shading.tex_image_fetch_p(scene, mid, u_tex, v_tex)
-    base = vp.gather(vp.cols(scene.mat_diffuse), mid)
-    textured = shading.texture_color_p(scene, mid, u_tex, v_tex, base,
-                                       fetched)
+    base = (mrf[:, 8], mrf[:, 9], mrf[:, 10])
+    textured = vp.where(textype == shading.TEX_CHECKERBOARD, checker, base)
+    textured = vp.where(textype == shading.TEX_IMAGE, img_fb, textured)
     diffuse = vp.where(is_mesh, vp.where(has_col > 0.5, col_m, base),
                        textured)
 
     # normal mapping — squares only (Scene.h:284, sphere call commented out)
-    n_mapped = shading.perturb_normal_p(
-        scene, mid, u_tex, v_tex, vp.gather(vp.cols(scene.quad_tan), jq),
-        vp.gather(vp.cols(scene.quad_bitan), jq), n)
-    n = vp.where(is_quad, n_mapped, n)
+    if scene.nm_data.shape[0] > 1:
+        raw, npresent = shading.atlas_fetch_rows_p(
+            scene.nm_data, mri[:, 4], mri[:, 5], mri[:, 6], u_tex, v_tex,
+            sx, sy)
+        nm = tuple(2.0 * c - 1.0 for c in raw)
+        tan = (qrow[:, 12], qrow[:, 13], qrow[:, 14])
+        bitan = (qrow[:, 15], qrow[:, 16], qrow[:, 17])
+        n2 = vp.normalize(tuple(
+            nm[0] * tan[a] + nm[1] * bitan[a] + nm[2] * n[a]
+            for a in range(3)))
+        use = npresent & (mri[:, 8] > 0)
+        n_mapped = vp.where(use, n2, n)
+        n = vp.where(is_quad, n_mapped, n)
 
     # emission — spheres and squares only (Scene.h:277,285)
-    emis = shading.emission_color_p(scene, mid, u_tex, v_tex, fetched)
+    lc = (mrf[:, 11], mrf[:, 12], mrf[:, 13])
+    etex = vp.where(textype == shading.TEX_CHECKERBOARD, checker, lc)
+    etex = vp.where(textype == shading.TEX_IMAGE, img_fb, etex)
+    ecol = vp.where(textype == shading.TEX_NONE, lc, etex)
+    k_emit = mrf[:, 14] * mrf[:, 15]
+    emis = vp.scale(k_emit, ecol)
     emis = vp.where(is_mesh, vp.full_like(emis, 0.0), emis)
 
     return dict(mid=mid, p=p, n=n, diffuse=diffuse, emission=emis,
-                u=u_tex, v=v_tex)
+                u=u_tex, v=v_tex, transp=mrf[:, 16], ior=mrf[:, 17],
+                mtype=mri[:, 7])
 
 
-def _direct_lighting_p(scene, cfg: RenderConfig, p, n, time, mid, diffuse,
+def _direct_lighting_p(scene, cfg: RenderConfig, p, n, time, transp, diffuse,
                        keys, eps):
     """Per-light Lambert + NB_ECH soft-shadow rays (Scene.h:305-334).
-    p, n, diffuse planar [N]; returns planar color [N]."""
+    p, n, diffuse planar [N]; transp: the hit material's transparency [N];
+    returns planar color [N]."""
     N = p[0].shape[0]
     L = scene.light_pos.shape[0]
     K = cfg.shadow_rays
     ref = cfg.compat == "reference"
     color = vp.full_like(p, 0.0)
-    transp = scene.mat_transparency[mid]
     for i in range(L):
         lpos = tuple(scene.light_pos[i, a] for a in range(3))   # scalars
         ldir = vp.normalize(vp.sub(lpos, p))
@@ -250,11 +321,11 @@ def _direct_lighting_p(scene, cfg: RenderConfig, p, n, time, mid, diffuse,
     return color
 
 
-def _scatter_p(scene, cfg: RenderConfig, d, n, p, mid, keys):
-    """Material::scatter (Material.cpp:26-60), branchless planar."""
+def _scatter_p(scene, cfg: RenderConfig, d, n, p, mtype, ior, keys):
+    """Material::scatter (Material.cpp:26-60), branchless planar.
+    mtype/ior: the hit material's lobe type [N] i32 and refraction index [N]
+    (from the packed hit record)."""
     ref = cfg.compat == "reference"
-    mtype = scene.mat_type[mid]
-    ior = scene.mat_ior[mid]
 
     # glass
     going_out = vp.dot(d, n) > 0.0
@@ -344,13 +415,14 @@ def trace(scene, cfg: RenderConfig, o, d, time, keys):
         live = active & ~miss
 
         direct = _direct_lighting_p(scene, cfg, hit["p"], hit["n"], time,
-                                    hit["mid"], hit["diffuse"], bkeys, eps)
+                                    hit["transp"], hit["diffuse"], bkeys,
+                                    eps)
         acc = tuple(acc[a] + jnp.where(
             live, throughput[a] * (direct[a] + hit["emission"][a]), 0.0)
             for a in range(3))
 
-        o2, d2 = _scatter_p(scene, cfg, d, hit["n"], hit["p"], hit["mid"],
-                            bkeys)
+        o2, d2 = _scatter_p(scene, cfg, d, hit["n"], hit["p"], hit["mtype"],
+                            hit["ior"], bkeys)
         state = dict(
             o=vp.where(live, o2, o),
             d=vp.where(live, d2, d),

@@ -163,6 +163,20 @@ def _magenta_checker_p(u, v):
     return (on, jnp.zeros_like(on), on)
 
 
+def atlas_fetch_rows_p(data, off_r, W, H, u, v, sx, sy):
+    """_atlas_fetch_p with the per-ray (offset, W, H) already gathered
+    (from a packed material row): one data[idx] row gather."""
+    present = (W > 0) & (H > 0)
+    uu = cpp_fmod(u * sx, 1.0)
+    vv = 1.0 - cpp_fmod(v * sy, 1.0)
+    x = jnp.trunc(uu * (W - 1).astype(jnp.float32)).astype(jnp.int32)
+    y = jnp.trunc(vv * (H - 1).astype(jnp.float32)).astype(jnp.int32)
+    x = jnp.clip(x, 0, jnp.maximum(W - 1, 0))
+    y = jnp.clip(y, 0, jnp.maximum(H - 1, 0))
+    idx = jnp.clip(off_r + y * W + x, 0, data.shape[0] - 1)
+    return vp.splat(data[idx]), present
+
+
 def tex_image_fetch_p(scene, mid, u, v):
     """The (at most ONE) per-bounce texture-atlas fetch, shared by diffuse
     texturing and emission (both use the same (slot, u, v) index). Statically
