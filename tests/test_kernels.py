@@ -1,0 +1,105 @@
+"""Pallas kernel parity vs the jnp reference implementations (interpret
+mode on the CPU test mesh). The jnp path stays the semantic spec; kernels
+must match it to float tolerance (RNG streams are bit-identical — see
+tests via benchmarks/pallas_caps2.py int32 PCG twin)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tracer.core import rng as trng
+from tracer.core import vec3p as vp
+from tracer.core.config import RenderConfig
+from tracer.render import integrator
+from tracer.render.camera import default_camera, generate_rays
+from tracer.scene.builder import SceneBuilder, Material
+from tracer.scene.device import compile_scene
+from tracer.scenes import zoo
+
+
+def _lit_scene():
+    sb = SceneBuilder()
+    sb.add_light((-2., 4., 3.), radius=1.0)
+    sb.add_light((3., 2., 1.), radius=0.5)
+    sb.add_sphere((0., 0., 0.), 1.0, Material(diffuse=(0.8, 0.3, 0.2)))
+    sb.add_sphere((1.5, 0.4, -1.0), 0.5,
+                  Material(diffuse=(0.2, 0.2, 0.9), transparency=0.5,
+                           mtype=1))
+    s = sb.add_square((-1., -1., 0.), (1., 0., 0.), (0., 1., 0.), 8., 8.,
+                      Material(diffuse=(0.3, 0.6, 0.9)))
+    s.rotate_x(-90).translate((0., -1.5, 0.))
+    return compile_scene(sb)
+
+
+def _rays(n=192):
+    cam = default_camera(aspect=1.0)
+    u = jnp.linspace(0.2, 0.8, n)
+    v = jnp.linspace(0.35, 0.65, n)
+    o, d = generate_rays(cam, u, v)
+    keys = trng.ray_keys(jax.random.key(7), jnp.arange(n, dtype=jnp.int32))
+    return o, d, jnp.linspace(0.0, 1.0, n), keys
+
+
+@pytest.mark.parametrize("compat", ["reference", "physical"])
+def test_shadow_kernel_matches_jnp(compat):
+    from tracer.kernels import shadow as kshadow
+
+    scene = _lit_scene()
+    cfg = RenderConfig(shadow_rays=4, compat=compat, kernels="on")
+    _, _, time, keys = _rays()
+    # hit points on the floor crossing the unit sphere's shadow from
+    # light 0 at (-2,4,3): some lit, some occluded, some penumbral
+    t = jnp.linspace(-1.0, 3.0, 192)
+    p = (t, jnp.full_like(t, -1.4), -t * 0.75)
+    eps = cfg.epsilon
+
+    got = kshadow.shadow_factors(scene, cfg, p, time, keys, eps)
+    want = [integrator._shadow_factor_jnp(scene, cfg, p, time, keys, eps, i)
+            for i in range(scene.n_lights)]
+    assert len(got) == len(want) == 2
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=1e-6, rtol=0)
+        # shadows must actually vary (not degenerate all-1s)
+        assert np.asarray(w).std() > 0
+
+
+def test_trace_with_kernels_matches_jnp():
+    """Full trace radiance: kernels=on (interpret) == kernels=off."""
+    scene = _lit_scene()
+    o, d, time, keys = _rays(96)
+    cfg_on = RenderConfig(shadow_rays=3, max_bounces=3, kernels="on")
+    cfg_off = dataclasses.replace(cfg_on, kernels="off")
+    r_on = integrator.trace(scene, cfg_on, o, d, time, keys)
+    r_off = integrator.trace(scene, cfg_off, o, d, time, keys)
+    np.testing.assert_allclose(np.asarray(r_on), np.asarray(r_off),
+                               atol=2e-5, rtol=0)
+
+
+def test_shadow_kernel_gradients_are_zero_and_flow():
+    """Gradients still flow through the lighting CONTRIB with kernels on,
+    and the kernel itself contributes zero gradient (like the jnp path)."""
+    scene = _lit_scene()
+    o, d, time, keys = _rays(32)
+    cfg = RenderConfig(shadow_rays=2, max_bounces=1, kernels="on")
+
+    def loss(diffuse):
+        s = dataclasses.replace(scene, mat_diffuse=diffuse)
+        return jnp.sum(integrator.trace(s, cfg, o, d, time, keys))
+
+    g = jax.grad(loss)(scene.mat_diffuse)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0
+
+    cfg_off = dataclasses.replace(cfg, kernels="off")
+
+    def loss_off(diffuse):
+        s = dataclasses.replace(scene, mat_diffuse=diffuse)
+        return jnp.sum(integrator.trace(s, cfg_off, o, d, time, keys))
+
+    g_off = jax.grad(loss_off)(scene.mat_diffuse)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_off),
+                               atol=2e-5, rtol=1e-4)

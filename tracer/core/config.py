@@ -39,6 +39,11 @@ class RenderConfig:
     # RNG seed for the counter-based sampler.
     seed: int = 0
 
+    # Pallas kernel dispatch: "auto" = use the fused TPU kernels when
+    # running on a real TPU, jnp everywhere else; "on" forces kernels
+    # (interpret mode off-TPU — slow, for parity tests); "off" = pure jnp.
+    kernels: str = "auto"
+
     # Rays per device-step batch (wavefront width). Pixels*samples are
     # processed in chunks of this size to bound device memory.
     rays_per_batch: int = 1 << 20
@@ -46,3 +51,5 @@ class RenderConfig:
     def __post_init__(self):
         if self.compat not in ("reference", "physical"):
             raise ValueError(f"unknown compat mode: {self.compat!r}")
+        if self.kernels not in ("auto", "on", "off"):
+            raise ValueError(f"unknown kernels mode: {self.kernels!r}")

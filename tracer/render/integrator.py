@@ -137,6 +137,27 @@ def _geo_packs(scene):
     return sph, quad, matf, mati
 
 
+def _rows(table, idx):
+    """Differentiable small-table row fetch as a one-hot MXU matmul.
+
+    A per-row HBM gather issues at ~7 ns/row on v5e (random-access bound) —
+    ~3 ms per 408K rays REGARDLESS of table size. For K <= a few hundred
+    rows, onehot[N,K] @ table[K,F] is 10-30x faster and exact: one-hot
+    entries are 0/1, a single nonzero per row, and HIGHEST precision keeps
+    true-f32 products. Gradients flow to `table` (onehot^T @ g scatter)."""
+    K = table.shape[0]
+    oh = (idx[:, None] == jnp.arange(K, dtype=idx.dtype)[None, :]).astype(
+        table.dtype)
+    return jnp.dot(oh, table, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+def _rows_i(table_i32, idx):
+    """_rows for int32 tables with values < 2^24 (exact in f32)."""
+    out = _rows(table_i32.astype(jnp.float32), idx)
+    return out.astype(jnp.int32)
+
+
 def _gather_hit_p(scene, o, d, a2, time, j, tri_mesh, eps):
     """Recompute the selected hit differentiably and fetch shading inputs.
 
@@ -158,7 +179,7 @@ def _gather_hit_p(scene, o, d, a2, time, j, tri_mesh, eps):
 
     # --- sphere branch ---------------------------------------------------
     js = jnp.clip(j, 0, S - 1)
-    srow = sph_pack[js]                                          # [N, 8]
+    srow = _rows(sph_pack, js)                                   # [N, 8]
     mid_s = srow[:, 7].astype(jnp.int32)
     _, p_s, n_s, theta, phi = prim.sphere_hit_detail_planar(
         o, d, a2, time, (srow[:, 0], srow[:, 1], srow[:, 2]),
@@ -166,7 +187,7 @@ def _gather_hit_p(scene, o, d, a2, time, j, tri_mesh, eps):
 
     # --- quad branch -----------------------------------------------------
     jq = jnp.clip(j - S, 0, Q - 1)
-    qrow = quad_pack[jq]                                         # [N, 19]
+    qrow = _rows(quad_pack, jq)                                  # [N, 19]
     mid_q = qrow[:, 18].astype(jnp.int32)
     _, p_q, n_q, u_q, v_q = prim.quad_hit_detail_planar(
         o, d, time, (qrow[:, 0], qrow[:, 1], qrow[:, 2]),
@@ -210,9 +231,9 @@ def _gather_hit_p(scene, o, d, a2, time, j, tri_mesh, eps):
     u_tex = jnp.where(is_sph, phi / (2.0 * jnp.pi), u_q)
     v_tex = jnp.where(is_sph, theta / jnp.pi, v_q)
 
-    # packed material row for the hit (one f32 + one i32 row gather)
-    mrf = matf[mid]
-    mri = mati[mid]
+    # packed material row for the hit (one-hot matmul fetch)
+    mrf = _rows(matf, mid)
+    mri = _rows_i(mati, mid)
     sx, sy = mrf[:, 0], mrf[:, 1]
     textype = mri[:, 0]
 
@@ -278,6 +299,18 @@ def _direct_lighting_p(scene, cfg: RenderConfig, p, n, time, transp, diffuse,
     K = cfg.shadow_rays
     ref = cfg.compat == "reference"
     color = vp.full_like(p, 0.0)
+
+    # The shadow-factor computation is discrete (Bernoulli visibility, zero
+    # gradient) and is the scene-intersection hot loop — dispatch it to the
+    # fused Pallas kernel when possible (meshes still go through the BVH
+    # jnp path).
+    kshadows = None
+    if L > 0 and scene.mesh_mat.shape[0] == 0:
+        from tracer.kernels import common as kcommon
+        if kcommon.use_kernels(cfg):
+            from tracer.kernels import shadow as kshadow
+            kshadows = kshadow.shadow_factors(scene, cfg, p, time, keys, eps)
+
     for i in range(L):
         lpos = tuple(scene.light_pos[i, a] for a in range(3))   # scalars
         ldir = vp.normalize(vp.sub(lpos, p))
@@ -286,39 +319,51 @@ def _direct_lighting_p(scene, cfg: RenderConfig, p, n, time, transp, diffuse,
         lam = jnp.maximum(0.0, dotLN) * (1.0 - transp)
         contrib = tuple(lcol_row[a] * diffuse[a] * lam for a in range(3))
 
-        # soft shadows: K jittered samples toward the light sphere.
-        # Stack the K shadow rays into the leading axis -> [K*N] planar.
-        skeys = rng.salted(keys, rng.SHADOW_LIGHT_POS, i)
-        delta = scene.light_radius[i] / 2.0
-        offs, tls, keys_k = [], [], []
-        for k in range(K):
-            ruv = (rng.cube_unit_vector_lane_p(skeys, k) if ref
-                   else rng.sphere_unit_vector_lane_p(skeys, k))
-            lp = vp.axpy(delta, ruv, lpos)
-            off = vp.sub(lp, p)
-            offs.append(off)
-            tls.append(vp.norm(off))
-            keys_k.append(rng.uniform_lane_key_p(
-                rng.salted(keys, rng.SHADOW_BERNOULLI, i), k))
-        off = tuple(jnp.stack([offs[k][a] for k in range(K)])
-                    .reshape(K * N) for a in range(3))
-        t_light = jnp.stack(tls).reshape(K * N)
-        bkeys = jnp.stack(keys_k).reshape(K * N)
-        inv = 1.0 / jnp.maximum(t_light, 1e-20)
-        sdir = vp.scale(inv, off)
-        p_rep = tuple(jnp.broadcast_to(p[a][None, :], (K, N))
-                      .reshape(K * N) for a in range(3))
-        so = vp.axpy(cfg.epsilon, sdir, p_rep)
-        t_rep = jnp.broadcast_to(time[None, :], (K, N)).reshape(K * N)
-        blocked = _shadow_blocked_p(scene, so, sdir, t_rep, t_light, bkeys,
-                                    eps).reshape(K, N)
-        shadow = 1.0 - jnp.mean(blocked, axis=0)
+        if kshadows is not None:
+            shadow = kshadows[i]
+        else:
+            shadow = _shadow_factor_jnp(scene, cfg, p, time, keys, eps, i)
         if ref:
             # quirk: multiplies everything accumulated so far (Scene.h:333)
             color = vp.scale(shadow, vp.add(color, contrib))
         else:
             color = vp.add(color, vp.mul(contrib, (shadow,) * 3))
     return color
+
+
+def _shadow_factor_jnp(scene, cfg: RenderConfig, p, time, keys, eps, i):
+    """Soft-shadow factor for light i: K jittered samples toward the light
+    sphere (Scene.h:319-334), stacked into a [K*N] planar megabatch. The
+    jnp reference implementation of the Pallas shadow kernel."""
+    N = p[0].shape[0]
+    K = cfg.shadow_rays
+    ref = cfg.compat == "reference"
+    lpos = tuple(scene.light_pos[i, a] for a in range(3))
+    skeys = rng.salted(keys, rng.SHADOW_LIGHT_POS, i)
+    delta = scene.light_radius[i] / 2.0
+    offs, tls, keys_k = [], [], []
+    for k in range(K):
+        ruv = (rng.cube_unit_vector_lane_p(skeys, k) if ref
+               else rng.sphere_unit_vector_lane_p(skeys, k))
+        lp = vp.axpy(delta, ruv, lpos)
+        off = vp.sub(lp, p)
+        offs.append(off)
+        tls.append(vp.norm(off))
+        keys_k.append(rng.uniform_lane_key_p(
+            rng.salted(keys, rng.SHADOW_BERNOULLI, i), k))
+    off = tuple(jnp.stack([offs[k][a] for k in range(K)])
+                .reshape(K * N) for a in range(3))
+    t_light = jnp.stack(tls).reshape(K * N)
+    bkeys = jnp.stack(keys_k).reshape(K * N)
+    inv = 1.0 / jnp.maximum(t_light, 1e-20)
+    sdir = vp.scale(inv, off)
+    p_rep = tuple(jnp.broadcast_to(p[a][None, :], (K, N))
+                  .reshape(K * N) for a in range(3))
+    so = vp.axpy(cfg.epsilon, sdir, p_rep)
+    t_rep = jnp.broadcast_to(time[None, :], (K, N)).reshape(K * N)
+    blocked = _shadow_blocked_p(scene, so, sdir, t_rep, t_light, bkeys,
+                                eps).reshape(K, N)
+    return 1.0 - jnp.mean(blocked, axis=0)
 
 
 def _scatter_p(scene, cfg: RenderConfig, d, n, p, mtype, ior, keys):
