@@ -103,3 +103,50 @@ def test_shadow_kernel_gradients_are_zero_and_flow():
     g_off = jax.grad(loss_off)(scene.mat_diffuse)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_off),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_traverse_kernel_matches_jnp():
+    """Packet BVH kernel vs the per-ray while_loop walk: identical (t, tri)
+    for coherent AND incoherent rays over a multi-mesh scene."""
+    from tracer.geometry import primitives as prim
+    from tracer.kernels import traverse as ktraverse
+
+    scene = compile_scene(zoo.setup_flamingo_pond())  # 2 meshes, 11.9K tris
+    assert scene.n_meshes == 2
+    n = 257  # deliberately not a tile multiple (padding path)
+    cam = default_camera(aspect=1.0)
+    u = jnp.linspace(0.05, 0.95, n)
+    v = jnp.linspace(0.1, 0.9, n)
+    o, d = generate_rays(cam, u, v)
+    # add incoherent rays: random directions from inside the scene
+    k = jax.random.split(jax.random.key(3), 2)
+    d2 = jax.random.normal(k[0], (n, 3))
+    d2 = d2 / jnp.linalg.norm(d2, axis=-1, keepdims=True)
+    o2 = jax.random.uniform(k[1], (n, 3), minval=-2.0, maxval=2.0)
+    o = jnp.concatenate([o, o2])
+    d = jnp.concatenate([d, d2])
+
+    import tracer.core.vec3p as vp2
+    t_k, tri_k = ktraverse.mesh_closest_hits(scene, vp2.splat(o),
+                                             vp2.splat(d))
+    t_j, tri_j = prim.mesh_closest_hits(o, d, scene, 1e-5)
+    hit_k = np.asarray(t_k) < 1e30
+    hit_j = np.asarray(t_j) < 1e30
+    np.testing.assert_array_equal(hit_k, hit_j)
+    assert hit_j.any(), "test rays must actually hit the meshes"
+    # t agrees to 1 ULP (the jnp path's dot() reduce may fuse FMAs where
+    # the kernel's explicit adds don't); tri ids must be identical
+    np.testing.assert_allclose(np.asarray(t_k)[hit_j],
+                               np.asarray(t_j)[hit_j], rtol=1e-6, atol=0)
+    np.testing.assert_array_equal(np.asarray(tri_k), np.asarray(tri_j))
+
+
+def test_trace_mesh_scene_with_kernels_matches_jnp():
+    scene = compile_scene(zoo.setup_mesh())
+    o, d, time, keys = _rays(64)
+    cfg_on = RenderConfig(shadow_rays=2, max_bounces=2, kernels="on")
+    cfg_off = dataclasses.replace(cfg_on, kernels="off")
+    r_on = integrator.trace(scene, cfg_on, o, d, time, keys)
+    r_off = integrator.trace(scene, cfg_off, o, d, time, keys)
+    np.testing.assert_allclose(np.asarray(r_on), np.asarray(r_off),
+                               atol=2e-5, rtol=0)

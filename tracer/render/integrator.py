@@ -49,7 +49,7 @@ INF = prim.INF
 DIFFUSE, GLASS, MIRROR = 0, 1, 2
 
 
-def _scene_candidates_p(scene, o, d, a2, time, eps):
+def _scene_candidates_p(scene, o, d, a2, time, eps, kernels_on=False):
     """All candidate ts in (spheres, squares, meshes) order: [S+Q+Nm, N].
     o, d planar [N]; a2 = d.d [N]. Also returns per-mesh tri ids [Nm, N]."""
     t_sph = prim.sphere_ts_planar(o, d, a2, time, scene.sph_center,
@@ -63,9 +63,14 @@ def _scene_candidates_p(scene, o, d, a2, time, eps):
                                  scene.quad_valid, eps)
     Nm = scene.mesh_mat.shape[0]
     if Nm > 0:
-        # The BVH walk consumes [N,3] rays (gather-heavy, not lane-bound).
-        t_mesh_raw, tri_mesh = prim.mesh_closest_hits(
-            vp.pack(o), vp.pack(d), scene, eps)
+        if kernels_on and scene.leaf_width == 4:
+            from tracer.kernels import traverse as ktraverse
+            t_mesh_raw, tri_mesh = ktraverse.mesh_closest_hits(scene, o, d)
+        else:
+            # The BVH walk consumes [N,3] rays (gather-heavy, not
+            # lane-bound).
+            t_mesh_raw, tri_mesh = prim.mesh_closest_hits(
+                vp.pack(o), vp.pack(d), scene, eps)
         # Scene-level eps cut: a mesh whose *closest* hit is below eps is
         # rejected wholesale (Scene.h:224) — quirk parity.
         t_mesh = jnp.where(t_mesh_raw >= eps, t_mesh_raw, INF).T  # [Nm,N]
@@ -86,7 +91,8 @@ def _scene_candidates(scene, o, d, time, eps):
     return t_all.T, tri.T
 
 
-def _shadow_blocked_p(scene, o, d, time, t_light, keys, eps):
+def _shadow_blocked_p(scene, o, d, time, t_light, keys, eps,
+                      kernels_on=False):
     """Stochastic-transparency shadow test (Scene::computeShadow,
     Scene.h:235-255): blocked iff ANY occluder with eps <= t < t_light
     passes `uniform() > transparency`. One independent draw per occluder
@@ -94,7 +100,8 @@ def _shadow_blocked_p(scene, o, d, time, t_light, keys, eps):
 
     o, d planar [M] shadow rays; t_light, keys: [M]. Returns blocked [M].
     """
-    t_all, _ = _scene_candidates_p(scene, o, d, vp.dot(d, d), time, eps)
+    t_all, _ = _scene_candidates_p(scene, o, d, vp.dot(d, d), time, eps,
+                                   kernels_on)
     mat_ids = jnp.concatenate([scene.sph_mat, scene.quad_mat,
                                scene.mesh_mat])
     transp = scene.mat_transparency[mat_ids]          # [K]
@@ -361,8 +368,10 @@ def _shadow_factor_jnp(scene, cfg: RenderConfig, p, time, keys, eps, i):
                   .reshape(K * N) for a in range(3))
     so = vp.axpy(cfg.epsilon, sdir, p_rep)
     t_rep = jnp.broadcast_to(time[None, :], (K, N)).reshape(K * N)
+    from tracer.kernels import common as kcommon
     blocked = _shadow_blocked_p(scene, so, sdir, t_rep, t_light, bkeys,
-                                eps).reshape(K, N)
+                                eps, kcommon.use_kernels(cfg)
+                                ).reshape(K, N)
     return 1.0 - jnp.mean(blocked, axis=0)
 
 
@@ -410,10 +419,12 @@ def trace(scene, cfg: RenderConfig, o, d, time, keys):
     folded). Equivalent of Scene::rayTrace (Scene.h:345-350) over a batch.
     """
     from tracer.render import shading
+    from tracer.kernels import common as kcommon
 
     eps = cfg.epsilon
     B = cfg.max_bounces
     ref = cfg.compat == "reference"
+    kernels_on = kcommon.use_kernels(cfg)
 
     op, dp = vp.splat(o), vp.splat(d)
 
@@ -443,7 +454,8 @@ def trace(scene, cfg: RenderConfig, o, d, time, keys):
         bkeys = rng.salted(keys, b)
         a2 = vp.dot(d, d)
 
-        t_all, tri_mesh = _scene_candidates_p(scene, o, d, a2, time, eps)
+        t_all, tri_mesh = _scene_candidates_p(scene, o, d, a2, time, eps,
+                                              kernels_on)
         j = jnp.argmin(t_all, axis=0)
         tmin = jnp.min(t_all, axis=0)
         miss = tmin >= INF * 0.5
