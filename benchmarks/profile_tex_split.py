@@ -1,0 +1,84 @@
+"""Apportion the in-context texture cost: full sample vs nm-disabled vs
+tex-disabled vs both-disabled (static sentinel atlases), slope-timed.
+
+Run: python benchmarks/profile_tex_split.py
+"""
+
+import os
+import sys
+import time
+import dataclasses
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+from tracer.core.config import RenderConfig
+from tracer.render.renderer import _render_batch
+from tracer.render.camera import default_camera
+from tracer.scene.device import compile_scene
+from tracer.scenes import zoo
+
+W, H = 850, 480
+N = W * H
+cfg = RenderConfig(width=W, height=H)
+
+
+def slope(body, args, r1=2, r2=8, reps=3):
+    def timed(r):
+        @jax.jit
+        def jf(*a):
+            def step(c, s):
+                return jnp.sum(body(s, c, *a)) * 1e-20, None
+            c, _ = jax.lax.scan(step, jnp.float32(0.0),
+                                jnp.arange(r, dtype=jnp.int32))
+            return c
+        float(jf(*args))
+        best = 1e9
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(jf(*args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+    return (timed(r2) - timed(r1)) / (r2 - r1)
+
+
+def no_tex(scene):
+    return dataclasses.replace(
+        scene, tex_data=jnp.zeros((1, 3), jnp.float32),
+        tex_pack=jnp.zeros((1, 16), jnp.int32),
+        tex_off=jnp.zeros_like(scene.tex_off),
+        tex_w=jnp.zeros_like(scene.tex_w), tex_h=jnp.zeros_like(scene.tex_h))
+
+
+def no_nm(scene):
+    return dataclasses.replace(
+        scene, nm_data=jnp.zeros((1, 3), jnp.float32),
+        nm_pack=jnp.zeros((1, 16), jnp.int32),
+        nm_off=jnp.zeros_like(scene.nm_off),
+        nm_w=jnp.zeros_like(scene.nm_w), nm_h=jnp.zeros_like(scene.nm_h))
+
+
+def main():
+    scene = compile_scene(zoo.setup_cornell_box(W / H))
+    cam = default_camera(aspect=W / H)
+    pid = jnp.arange(N, dtype=jnp.int32)
+    base = jax.random.key(0)
+
+    def b_sample(s, c, scene, cam, pid, base):
+        return _render_batch(scene, cam, cfg, W, H, pid, s, base)[:, 0] + c
+
+    print(f"N = {N}, device = {jax.devices()[0]}")
+    for name, sc in (("full (tex+nm)", scene),
+                     ("nm disabled", no_nm(scene)),
+                     ("tex disabled", no_tex(scene)),
+                     ("both disabled", no_tex(no_nm(scene)))):
+        dt = slope(b_sample, (sc, cam, pid, base))
+        print(f"{name:20s} {dt*1e3:8.2f} ms/sample "
+              f"({N/max(dt,1e-9)/1e6:7.2f} M rays/s)")
+
+
+if __name__ == "__main__":
+    main()

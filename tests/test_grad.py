@@ -224,3 +224,127 @@ def test_grad_camera_position():
         g_fd[i] = (float(loss_of(p0 + dp)) - float(loss_of(p0 - dp))) / (2 * eps)
     assert np.abs(g_ad - g_fd).max() < 3e-2 + 5e-2 * np.abs(g_fd).max(), \
         (g_ad, g_fd)
+
+
+# ---------------------------------------------------------------------------
+# Multi-bounce chains: gradients THROUGH mirror / glass scatter paths
+# (VERDICT r1 weak #5 — the NaN-clamp sites in primitives/vec3p only bite
+# beyond bounce 1; these FD-check depth-3 chains).
+# ---------------------------------------------------------------------------
+
+CFG3 = RenderConfig(max_bounces=3)
+
+
+def _mirror_chain_scene():
+    """Camera ray -> mirror quad (45°) -> diffuse sphere -> light.
+
+    The mirror (normal rotated to (sin45, 0, cos45)) redirects -z-going
+    view rays to +x toward a sphere off to the side; gradients w.r.t. the
+    sphere center/albedo must flow through the reflected (bounce-2) hit.
+    """
+    from tracer.scene.builder import MIRROR
+    sb = SceneBuilder()
+    sb.add_light((3., 5., 2.), radius=0.0)
+    mq = sb.add_square((-1., -1., 0.), (1., 0., 0.), (0., 1., 0.), 2., 2.,
+                       Material(diffuse=(0.95, 0.95, 0.95), mtype=MIRROR))
+    mq.rotate_y(45.0)
+    sb.add_sphere((3.0, 0.0, 0.0), 0.9,
+                  Material(diffuse=(0.7, 0.3, 0.2)))
+    return compile_scene(sb)
+
+
+def _glass_chain_scene(ior=1.5):
+    """Camera ray -> glass sphere (refract in/out) -> diffuse wall."""
+    from tracer.scene.builder import GLASS
+    sb = SceneBuilder()
+    sb.add_light((0., 4., 4.), radius=0.0)
+    sb.add_sphere((0.0, 0.0, 1.0), 0.8,
+                  Material(diffuse=(1.0, 1.0, 1.0), mtype=GLASS,
+                           index_medium=ior, transparency=1.0))
+    w = sb.add_square((-1., -1., 0.), (1., 0., 0.), (0., 1., 0.), 10., 10.,
+                      Material(diffuse=(0.2, 0.5, 0.8)))
+    w.translate((0., 0., -2.0))
+    return compile_scene(sb)
+
+
+def _fd_vs_ad(scene, loss_of, p0, idx_iter, eps, atol, rtol=8e-2):
+    g_ad = np.asarray(jax.grad(loss_of)(p0), np.float64)
+    p0n = np.asarray(p0, np.float64)
+    for ix in idx_iter:
+        dp = np.zeros_like(p0n)
+        dp[ix] = eps
+        lp = float(loss_of(jnp.asarray(p0n + dp, jnp.float32)))
+        lm = float(loss_of(jnp.asarray(p0n - dp, jnp.float32)))
+        fd = (lp - lm) / (2 * eps)
+        ad = g_ad[ix]
+        assert abs(ad - fd) < atol + rtol * max(abs(fd), 1.0), \
+            (ix, ad, fd)
+    return g_ad
+
+
+def test_grad_through_mirror_chain():
+    import dataclasses
+    scene = _mirror_chain_scene()
+    cam = default_camera(aspect=1.0)
+    n = 5
+    u = jnp.linspace(0.48, 0.52, n)
+    v = jnp.full(n, 0.5)
+    o, d = generate_rays(cam, u, v)
+    keys = trng.ray_keys(jax.random.key(3), jnp.arange(n, dtype=jnp.int32))
+
+    def loss_of(center):
+        s = dataclasses.replace(scene,
+                                sph_center=scene.sph_center.at[0].set(center))
+        return jnp.sum(integrator.trace(s, CFG3, o, d, jnp.zeros(n), keys))
+
+    g = _fd_vs_ad(scene, loss_of, scene.sph_center[0],
+                  [(0,), (1,), (2,)], eps=1e-3, atol=3e-2)
+    assert np.abs(g).max() > 1e-4, "no gradient through the mirror bounce"
+
+    # albedo of the sphere, reached only via the mirror
+    sph_mid = int(np.asarray(scene.sph_mat)[0])
+
+    def loss_alb(diff):
+        s = dataclasses.replace(
+            scene, mat_diffuse=scene.mat_diffuse.at[sph_mid].set(diff))
+        return jnp.sum(integrator.trace(s, CFG3, o, d, jnp.zeros(n), keys))
+
+    g2 = _fd_vs_ad(scene, loss_alb, scene.mat_diffuse[sph_mid],
+                   [(0,), (2,)], eps=1e-3, atol=2e-2)
+    assert np.abs(g2).max() > 1e-4
+
+
+def test_grad_through_glass_chain():
+    import dataclasses
+    scene = _glass_chain_scene()
+    cam = default_camera(aspect=1.0)
+    n = 5
+    u = jnp.linspace(0.49, 0.51, n)
+    v = jnp.full(n, 0.5)
+    o, d = generate_rays(cam, u, v)
+    keys = trng.ray_keys(jax.random.key(11), jnp.arange(n, dtype=jnp.int32))
+
+    def loss_center(center):
+        s = dataclasses.replace(scene,
+                                sph_center=scene.sph_center.at[0].set(center))
+        return jnp.sum(integrator.trace(s, CFG3, o, d, jnp.zeros(n), keys))
+
+    g = _fd_vs_ad(scene, loss_center, scene.sph_center[0],
+                  [(0,), (1,)], eps=5e-4, atol=5e-2)
+    assert np.isfinite(g).all()
+
+    # index of refraction: flows through the refract() direction math
+    glass_mid = int(np.asarray(scene.sph_mat)[0])
+
+    def loss_ior(ior):
+        s = dataclasses.replace(scene,
+                                mat_ior=scene.mat_ior.at[glass_mid].set(ior))
+        return jnp.sum(integrator.trace(s, CFG3, o, d, jnp.zeros(n), keys))
+
+    g_ad = float(jax.grad(loss_ior)(scene.mat_ior[glass_mid]))
+    eps = 5e-4
+    i0 = float(scene.mat_ior[glass_mid])
+    fd = (float(loss_ior(jnp.float32(i0 + eps)))
+          - float(loss_ior(jnp.float32(i0 - eps)))) / (2 * eps)
+    assert np.isfinite(g_ad) and np.isfinite(fd)
+    assert abs(g_ad - fd) < 5e-2 + 8e-2 * max(abs(fd), 1.0), (g_ad, fd)

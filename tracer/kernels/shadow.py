@@ -139,7 +139,11 @@ def _kernel(light_ref, sph_ref, quad_ref, px_ref, py_ref, pz_ref, tm_ref,
                 hit = (dl >= 0.0) & (t >= eps) & (valid > 0.5) \
                     & (t < t_light)
                 u_o = kc.to_unit_i32(kc.pcg_i32(kc.mix_i32(bk, s + 2)))
-                return blocked | (hit & (u_o > transp))
+                # f32 0/1 carry: Mosaic cannot legalize scf.for with
+                # i1-vector carries on this toolchain
+                return jnp.maximum(blocked,
+                                   jnp.where(hit & (u_o > transp),
+                                             1.0, 0.0))
 
             def quad_body(q, blocked):
                 nx = quad_ref[q, 0]
@@ -179,12 +183,14 @@ def _kernel(light_ref, sph_ref, quad_ref, px_ref, py_ref, pz_ref, tm_ref,
                 ok &= valid > 0.5
                 hit = ok & (t < t_light)
                 u_o = kc.to_unit_i32(kc.pcg_i32(kc.mix_i32(bk, S + q + 2)))
-                return blocked | (hit & (u_o > transp))
+                return jnp.maximum(blocked,
+                                   jnp.where(hit & (u_o > transp),
+                                             1.0, 0.0))
 
             blocked = jax.lax.fori_loop(
-                0, S, sph_body, jnp.zeros_like(px, bool))
+                0, S, sph_body, jnp.zeros_like(px))
             blocked = jax.lax.fori_loop(0, Q, quad_body, blocked)
-            return acc + jnp.where(blocked, 1.0, 0.0)
+            return acc + blocked
 
         acc = jax.lax.fori_loop(0, K, sample_k, jnp.zeros_like(px))
         out_ref[i] = 1.0 - acc / jnp.float32(K)

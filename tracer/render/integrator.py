@@ -165,14 +165,17 @@ def _rows_i(table_i32, idx):
     return out.astype(jnp.int32)
 
 
-def _gather_hit_p(scene, o, d, a2, time, j, tri_mesh, eps):
+def _gather_hit_p(scene, o, d, a2, time, j, tri_mesh, eps,
+                  kernels_on=False):
     """Recompute the selected hit differentiably and fetch shading inputs.
 
     j: [N] winning candidate index into (spheres | squares | meshes).
     Returns dict of per-ray planar fields. Discrete selection (j, tri ids)
     is non-differentiable by construction; gradients flow through the
     analytic re-evaluation of the winning primitive (SURVEY.md §7).
-    """
+    `kernels_on` routes atlas fetches through the packed-u32 fast path
+    (bit-identical values; texel grads still reach tex_data/nm_data via
+    packed_fetch's custom VJP)."""
     from tracer.render import shading
 
     N = j.shape[0]
@@ -245,11 +248,30 @@ def _gather_hit_p(scene, o, d, a2, time, j, tri_mesh, eps):
     textype = mri[:, 0]
 
     # ONE shared atlas fetch serves both diffuse texturing and emission
-    # (Material.cpp:63-92 / 13-24 use the same (slot, u, v) texel).
-    if scene.tex_data.shape[0] > 1:
-        img, present = shading.atlas_fetch_rows_p(
-            scene.tex_data, mri[:, 1], mri[:, 2], mri[:, 3], u_tex, v_tex,
-            sx, sy)
+    # (Material.cpp:63-92 / 13-24 use the same (slot, u, v) texel); when the
+    # scene also has normal maps and the fast path is on, the texture and
+    # normal-map texels come from a single FUSED gather (packed_fetch2).
+    has_tex = scene.tex_data.shape[0] > 1
+    has_nm = scene.nm_data.shape[0] > 1
+    fused = kernels_on and has_tex and has_nm
+    raw_nm = npresent = None
+    if has_nm:
+        nm_idx, npresent = shading._texel_index(
+            scene.nm_data.shape[0], mri[:, 4], mri[:, 5], mri[:, 6],
+            u_tex, v_tex, sx, sy)
+    if has_tex:
+        tex_idx, present = shading._texel_index(
+            scene.tex_data.shape[0], mri[:, 1], mri[:, 2], mri[:, 3],
+            u_tex, v_tex, sx, sy)
+        if fused:
+            img, raw_nm = shading.packed_fetch2(
+                scene.tex_data, scene.nm_data, scene.tex_pack,
+                scene.nm_pack, tex_idx, nm_idx)
+        elif kernels_on:
+            img = shading.packed_fetch(scene.tex_data, scene.tex_pack,
+                                       tex_idx)
+        else:
+            img = vp.splat(scene.tex_data[tex_idx])
     else:
         img = vp.full_like(o, 0.0)
         present = jnp.zeros(N, bool)
@@ -268,10 +290,13 @@ def _gather_hit_p(scene, o, d, a2, time, j, tri_mesh, eps):
                        textured)
 
     # normal mapping — squares only (Scene.h:284, sphere call commented out)
-    if scene.nm_data.shape[0] > 1:
-        raw, npresent = shading.atlas_fetch_rows_p(
-            scene.nm_data, mri[:, 4], mri[:, 5], mri[:, 6], u_tex, v_tex,
-            sx, sy)
+    if has_nm:
+        if raw_nm is not None:
+            raw = raw_nm
+        elif kernels_on:
+            raw = shading.packed_fetch(scene.nm_data, scene.nm_pack, nm_idx)
+        else:
+            raw = vp.splat(scene.nm_data[nm_idx])
         nm = tuple(2.0 * c - 1.0 for c in raw)
         tan = (qrow[:, 12], qrow[:, 13], qrow[:, 14])
         bitan = (qrow[:, 15], qrow[:, 16], qrow[:, 17])
@@ -463,12 +488,14 @@ def trace(scene, cfg: RenderConfig, o, d, time, keys):
         # sky on miss (Scene.h:300-303). where-select (not multiply-by-
         # weight) so a NaN/Inf on an inactive lane can never poison acc.
         sky = shading.skybox_color_p(
-            scene, d, jnp.broadcast_to(n_rem, zero.shape), ref)
+            scene, d, jnp.broadcast_to(n_rem, zero.shape), ref,
+            packed=kernels_on)
         acc = tuple(acc[a] + jnp.where(active & miss,
                                        throughput[a] * sky[a], 0.0)
                     for a in range(3))
 
-        hit = _gather_hit_p(scene, o, d, a2, time, j, tri_mesh, eps)
+        hit = _gather_hit_p(scene, o, d, a2, time, j, tri_mesh, eps,
+                            kernels_on)
         live = active & ~miss
 
         direct = _direct_lighting_p(scene, cfg, hit["p"], hit["n"], time,

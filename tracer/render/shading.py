@@ -11,6 +11,7 @@ All functions take per-ray gathered material fields (shape [N] / [N,3]).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from tracer.core.mathutils import normalize, trunc_mod2, cpp_fmod
@@ -18,6 +19,109 @@ from tracer.core.mathutils import normalize, trunc_mod2, cpp_fmod
 TEX_NONE = 0
 TEX_CHECKERBOARD = 1
 TEX_IMAGE = 2
+
+PACK_BLOCK = 16  # texels per packed-atlas row (scene/device.py PACK_BLOCK)
+
+
+def _packed_decode(pack, idx):
+    """Fetch texel `idx` from a packed-u32 atlas: ONE narrow row gather +
+    in-register one-hot select + u8 decode. Returns planar (r, g, b) f32.
+
+    Bit-identical to `data[idx]` for u8-sourced atlases: both decode as
+    byte->f32 (exact) times the SAME rounded f32(1/255) constant (a
+    multiply — bit-stable under XLA, unlike /255.0 which gets rewritten to
+    a reciprocal multiply). The narrow (64B) low-row-count table is what
+    makes this 4-8x faster than the [P,3] row gather
+    (benchmarks/gather_exp5/6.py)."""
+    row = pack[idx // PACK_BLOCK]                            # [N, 16] i32
+    sub = idx % PACK_BLOCK
+    oh = (sub[:, None] == jnp.arange(PACK_BLOCK, dtype=jnp.int32)[None]
+          ).astype(jnp.int32)
+    v = jnp.sum(row * oh, axis=1)                            # exact select
+    k = jnp.float32(1.0 / 255.0)
+    to = lambda c: c.astype(jnp.float32) * k                 # noqa: E731
+    return (to(jax.lax.shift_right_logical(v, 16) & 0xFF),
+            to(jax.lax.shift_right_logical(v, 8) & 0xFF),
+            to(v & 0xFF))
+
+
+@jax.custom_vjp
+def packed_fetch(data, pack, idx):
+    """Texel fetch `data[idx]` via the packed twin `pack` (fast forward),
+    with the texel gradient scatter-added onto `data` (so texels stay
+    first-class differentiable parameters — Material.cpp:82-88 recast).
+
+    Invariant: `pack` must encode `data` (compile_scene guarantees it).
+    A texture-OPTIMIZATION loop that updates tex_data off the u8 grid must
+    render with cfg.kernels='off' (the exact [P,3] gather path); this fast
+    path is for render/bench forwards where atlases are pristine."""
+    return _packed_decode(pack, idx)
+
+
+def _packed_fetch_fwd(data, pack, idx):
+    return _packed_decode(pack, idx), (data, idx)
+
+
+def _packed_fetch_bwd(res, g):
+    data, idx = res
+    ct = jnp.zeros_like(data).at[idx].add(
+        jnp.stack([g[0], g[1], g[2]], axis=-1))
+    return ct, None, None
+
+
+packed_fetch.defvjp(_packed_fetch_fwd, _packed_fetch_bwd)
+
+
+def _packed_decode2(pack_t, pack_n, idx_t, idx_n):
+    """ONE fused gather serving both the texture and normal-map fetches of
+    a bounce: rows from the two packed atlases are fetched by a single
+    [2N]-index gather over their concatenation. In the packed (low-row-
+    count) regime roughly half the per-fetch cost is per-gather-op overhead
+    (benchmarks/profile_tex_split.py: ~1.45 ms in-context vs 0.92 ms
+    standalone vs ~0.74 ms raw gather), so one 2N gather beats two N ones.
+    """
+    merged = jnp.concatenate([pack_t, pack_n], axis=0)  # hoisted (constant)
+    rt = pack_t.shape[0]
+    rows2 = merged[jnp.concatenate([idx_t // PACK_BLOCK,
+                                    idx_n // PACK_BLOCK + rt])]
+    sub2 = jnp.concatenate([idx_t % PACK_BLOCK, idx_n % PACK_BLOCK])
+    oh = (sub2[:, None] == jnp.arange(PACK_BLOCK, dtype=jnp.int32)[None]
+          ).astype(jnp.int32)
+    v2 = jnp.sum(rows2 * oh, axis=1)
+    k = jnp.float32(1.0 / 255.0)
+    to = lambda c: c.astype(jnp.float32) * k                 # noqa: E731
+    n = idx_t.shape[0]
+    vt, vn = v2[:n], v2[n:]
+    dec = lambda v: (to(jax.lax.shift_right_logical(v, 16) & 0xFF),  # noqa
+                     to(jax.lax.shift_right_logical(v, 8) & 0xFF),
+                     to(v & 0xFF))
+    return dec(vt), dec(vn)
+
+
+@jax.custom_vjp
+def packed_fetch2(data_t, data_n, pack_t, pack_n, idx_t, idx_n):
+    """Fused texture+normal-map texel fetch (see _packed_decode2) with
+    texel gradients scatter-added onto data_t / data_n (same contract as
+    packed_fetch)."""
+    return _packed_decode2(pack_t, pack_n, idx_t, idx_n)
+
+
+def _packed_fetch2_fwd(data_t, data_n, pack_t, pack_n, idx_t, idx_n):
+    return (_packed_decode2(pack_t, pack_n, idx_t, idx_n),
+            (data_t, data_n, idx_t, idx_n))
+
+
+def _packed_fetch2_bwd(res, g):
+    data_t, data_n, idx_t, idx_n = res
+    gt, gn = g
+    ct = jnp.zeros_like(data_t).at[idx_t].add(
+        jnp.stack([gt[0], gt[1], gt[2]], axis=-1))
+    cn = jnp.zeros_like(data_n).at[idx_n].add(
+        jnp.stack([gn[0], gn[1], gn[2]], axis=-1))
+    return ct, cn, None, None, None, None
+
+
+packed_fetch2.defvjp(_packed_fetch2_fwd, _packed_fetch2_bwd)
 
 
 def _atlas_fetch(data, off, w, h, slot, u, v, scale_x, scale_y):
@@ -163,9 +267,8 @@ def _magenta_checker_p(u, v):
     return (on, jnp.zeros_like(on), on)
 
 
-def atlas_fetch_rows_p(data, off_r, W, H, u, v, sx, sy):
-    """_atlas_fetch_p with the per-ray (offset, W, H) already gathered
-    (from a packed material row): one data[idx] row gather."""
+def _texel_index(P, off_r, W, H, u, v, sx, sy):
+    """Nearest-texel flat index (Material.cpp:82-88) + present mask."""
     present = (W > 0) & (H > 0)
     uu = cpp_fmod(u * sx, 1.0)
     vv = 1.0 - cpp_fmod(v * sy, 1.0)
@@ -173,7 +276,18 @@ def atlas_fetch_rows_p(data, off_r, W, H, u, v, sx, sy):
     y = jnp.trunc(vv * (H - 1).astype(jnp.float32)).astype(jnp.int32)
     x = jnp.clip(x, 0, jnp.maximum(W - 1, 0))
     y = jnp.clip(y, 0, jnp.maximum(H - 1, 0))
-    idx = jnp.clip(off_r + y * W + x, 0, data.shape[0] - 1)
+    idx = jnp.clip(off_r + y * W + x, 0, P - 1)
+    return idx, present
+
+
+def atlas_fetch_rows_p(data, off_r, W, H, u, v, sx, sy, pack=None):
+    """_atlas_fetch_p with the per-ray (offset, W, H) already gathered
+    (from a packed material row). With `pack` (the atlas's packed-u32
+    twin): one narrow packed-row gather via packed_fetch (fast path);
+    without: one data[idx] row gather (exact-differentiable path)."""
+    idx, present = _texel_index(data.shape[0], off_r, W, H, u, v, sx, sy)
+    if pack is not None:
+        return packed_fetch(data, pack, idx), present
     return vp.splat(data[idx]), present
 
 
@@ -236,8 +350,10 @@ def perturb_normal_p(scene, mid, u, v, tangent, bitangent, normal):
     return vp.where(use, n2, normal)
 
 
-def skybox_color_p(scene, d, n_remaining, compat_reference: bool):
-    """Planar Scene::skyboxTexture (Scene.h:149-161)."""
+def skybox_color_p(scene, d, n_remaining, compat_reference: bool,
+                   packed: bool = False):
+    """Planar Scene::skyboxTexture (Scene.h:149-161). `packed` routes the
+    equirect texel fetch through the packed-u32 twin (fast path)."""
     if scene.has_sky_image:
         u = 0.5 + jnp.arctan2(d[2], d[0]) / (2.0 * jnp.pi)
         v = 0.5 - jnp.arcsin(jnp.clip(d[1], -1.0, 1.0)) / jnp.pi
@@ -246,7 +362,10 @@ def skybox_color_p(scene, d, n_remaining, compat_reference: bool):
         y = jnp.clip((v * scene.sky_h.astype(jnp.float32)).astype(jnp.int32),
                      0, scene.sky_h - 1)
         idx = jnp.clip(y * scene.sky_w + x, 0, scene.sky_data.shape[0] - 1)
-        col = vp.splat(scene.sky_data[idx])  # one row gather (see _atlas_fetch_p)
+        if packed:
+            col = packed_fetch(scene.sky_data, scene.sky_pack, idx)
+        else:
+            col = vp.splat(scene.sky_data[idx])  # one row gather
         if compat_reference:
             col = vp.scale(n_remaining.astype(jnp.float32), col)
         return col

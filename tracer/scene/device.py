@@ -105,6 +105,14 @@ class DeviceScene:
     nm_off: jnp.ndarray
     nm_w: jnp.ndarray
     nm_h: jnp.ndarray
+    # Packed-u32 block twins of the atlases (shading.packed_fetch): texel
+    # RGB bytes packed 0xRRGGBB, PACK_BLOCK texels per row. Derived from the
+    # same u8 images as tex_data/nm_data (decode is bit-identical); NOT a
+    # trainable leaf — texel gradients flow to tex_data/nm_data via the
+    # fetch's custom VJP.
+    tex_pack: jnp.ndarray        # [ceil(P/16), 16] i32
+    nm_pack: jnp.ndarray         # [ceil(Pn/16), 16] i32
+    sky_pack: jnp.ndarray        # [ceil(Ps/16), 16] i32
 
     # --- lights ----------------------------------------------------------
     light_pos: jnp.ndarray       # [L, 3]
@@ -165,13 +173,35 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m if x > 0 else 0
 
 
-def _atlas(images) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Pack images (uint8 [H,W,3] or None) into a flat float atlas.
+PACK_BLOCK = 16  # texels per packed-atlas row (shading.packed_fetch)
+
+
+def _pack_u8_atlas(rows_u8: np.ndarray) -> np.ndarray:
+    """[P, 3] u8 texels -> [ceil(P/16), 16] i32, 0xRRGGBB per texel.
+
+    Row-count reduction is the point: XLA's TPU gather costs ~7 ns/row on a
+    1.2M-row table but ~1-2 ns/row under ~100K rows (benchmarks/
+    gather_exp{3,5,6}.py), so fetching one 16-texel row + an in-register
+    one-hot select is ~4-8x faster than the naive [P,3] row gather."""
+    P = rows_u8.shape[0]
+    rows = max((P + PACK_BLOCK - 1) // PACK_BLOCK, 1)
+    v = rows_u8.astype(np.int32)
+    packed = (v[:, 0] << 16) | (v[:, 1] << 8) | v[:, 2]
+    out = np.zeros(rows * PACK_BLOCK, np.int32)
+    out[:P] = packed
+    return out.reshape(rows, PACK_BLOCK)
+
+
+def _atlas(images) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray,
+                            np.ndarray]:
+    """Pack images (uint8 [H,W,3] or None) into a flat float atlas plus its
+    packed-u32 twin (same texel order; decode is bit-identical because both
+    store byte/255 in f32).
 
     Slot 0 is always the 'missing' entry (w=h=0) so material slot 0 means
     'no texture' and missing images trigger the reference's fallbacks.
     """
-    data = [np.zeros((1, 3), np.float32)]
+    data = [np.zeros((1, 3), np.uint8)]
     off, ws, hs = [0], [0], [0]
     cursor = 1
     for img in images:
@@ -181,14 +211,19 @@ def _atlas(images) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
             hs.append(0)
             continue
         h, w = img.shape[:2]
-        data.append(img.reshape(-1, 3).astype(np.float32) / 255.0)
+        data.append(img.reshape(-1, 3).astype(np.uint8))
         off.append(cursor)
         ws.append(w)
         hs.append(h)
         cursor += h * w
-    return (np.concatenate(data, axis=0),
+    rows_u8 = np.concatenate(data, axis=0)
+    # byte -> [0,1] by MULTIPLY with f32(1/255), not division: XLA rewrites
+    # /255.0 into a reciprocal multiply, so a multiply with the identical
+    # rounded constant is the only decode that is bit-identical between
+    # this host-side build and the on-device packed_fetch decode.
+    return (rows_u8.astype(np.float32) * np.float32(1.0 / 255.0),
             np.asarray(off, np.int32), np.asarray(ws, np.int32),
-            np.asarray(hs, np.int32))
+            np.asarray(hs, np.int32), _pack_u8_atlas(rows_u8))
 
 
 def compile_scene(sb: B.SceneBuilder, leaf_width: int = 4,
@@ -365,8 +400,8 @@ def compile_scene(sb: B.SceneBuilder, leaf_width: int = 4,
     mat_tex = np.asarray([m.texture_id + 1 for m in mats], np.int32)
     mat_nm = np.asarray([m.normal_map_id + 1 for m in mats], np.int32)
 
-    tex_data, tex_off, tex_w, tex_h = _atlas(sb.textures)
-    nm_data, nm_off, nm_w, nm_h = _atlas(sb.normal_maps)
+    tex_data, tex_off, tex_w, tex_h, tex_pack = _atlas(sb.textures)
+    nm_data, nm_off, nm_w, nm_h, nm_pack = _atlas(sb.normal_maps)
 
     # ---- lights ---------------------------------------------------------
     L = len(sb.lights)
@@ -379,10 +414,13 @@ def compile_scene(sb: B.SceneBuilder, leaf_width: int = 4,
     # ---- skybox ---------------------------------------------------------
     if sb.skybox is not None:
         sh, sw = sb.skybox.shape[:2]
-        sky_data = sb.skybox.reshape(-1, 3).astype(np.float32) / 255.0
+        sky_u8 = sb.skybox.reshape(-1, 3).astype(np.uint8)
+        sky_data = sky_u8.astype(np.float32) * np.float32(1.0 / 255.0)
+        sky_pack = _pack_u8_atlas(sky_u8)
     else:
         sh = sw = 0
         sky_data = np.zeros((1, 3), np.float32)
+        sky_pack = np.zeros((1, PACK_BLOCK), np.int32)
 
     jf = jnp.asarray
     return DeviceScene(
@@ -413,6 +451,7 @@ def compile_scene(sb: B.SceneBuilder, leaf_width: int = 4,
         tex_data=jf(tex_data), tex_off=jf(tex_off), tex_w=jf(tex_w),
         tex_h=jf(tex_h),
         nm_data=jf(nm_data), nm_off=jf(nm_off), nm_w=jf(nm_w), nm_h=jf(nm_h),
+        tex_pack=jf(tex_pack), nm_pack=jf(nm_pack), sky_pack=jf(sky_pack),
         light_pos=jf(light_pos), light_radius=jf(light_radius),
         light_color=jf(light_color),
         sky_data=jf(sky_data), sky_w=jf(np.int32(sw)), sky_h=jf(np.int32(sh)),
