@@ -87,8 +87,59 @@ def cmd_probe(args):
 
 
 def cmd_benchmark(args):
-    import bench
-    bench.main()
+    if not (args.occupancy or args.profile):
+        import bench
+        bench.main()
+        return
+
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from tracer.core import rng as trng
+    from tracer.core.config import RenderConfig
+    from tracer.render import integrator
+    from tracer.render.camera import default_camera, generate_rays
+
+    cfg = RenderConfig(width=args.width, height=args.height,
+                       max_bounces=args.bounces, compat=args.compat,
+                       seed=args.seed)
+    scene = _build(args.scene, args.width, args.height, args.seed)
+    cam = default_camera(aspect=args.width / args.height)
+    n = args.width * args.height
+    pid = jnp.arange(n, dtype=jnp.int32)
+    keys = trng.ray_keys(jax.random.key(cfg.seed), pid)
+    jit_uv = trng.uniform(trng.salted(keys, trng.PIXEL_JITTER), (2,))
+    x = (pid % args.width).astype(jnp.float32)
+    y = (pid // args.width).astype(jnp.float32)
+    o, d = generate_rays(cam, (x + jit_uv[:, 0]) / args.width,
+                         (y + jit_uv[:, 1]) / args.height)
+    tm = trng.uniform(trng.salted(keys, trng.RAY_TIME))
+
+    @jax.jit
+    def frame(o, d, tm, keys):
+        rad, aux = integrator.trace(scene, cfg, o, d, tm, keys,
+                                    with_aux=True)
+        return jnp.mean(rad), aux["occupancy"]
+
+    mean, occ = frame(o, d, tm, keys)  # compile + run
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            mean, occ = frame(o, d, tm, keys)
+            float(mean)
+        print(f"profiler trace written to {args.profile}", file=sys.stderr)
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        m = float(frame(o, d, tm, keys)[0])  # noqa: F841 (sync fetch)
+    dt = (time.perf_counter() - t0) / reps
+    print(json.dumps({
+        "scene": args.scene,
+        "config": f"{args.width}x{args.height} b{cfg.max_bounces} 1spp",
+        "primary_rays_per_s": round(n / dt),
+        "occupancy_per_bounce": [round(float(v), 4)
+                                 for v in np.asarray(occ)],
+        "device": str(jax.devices()[0].device_kind),
+    }))
 
 
 def cmd_grad_check(args):
@@ -127,6 +178,60 @@ def cmd_grad_check(args):
         p0 = getattr(scene, field)[idx]
         _, _, err, ok = compare_ad_fd(loss, p0)
         results[pname] = {"max_abs_err": err, "ok": ok}
+
+    # mesh vertex positions (shared-vertex grads, reference Mesh.h:111-124)
+    from tracer.scene.builder import MeshObject
+    import numpy as np
+    sbm = SceneBuilder()
+    sbm.add_light((-2., 4., 3.), radius=0.0)
+    sbm.add_mesh(MeshObject(
+        [(-1.5, -1.0, 0.0), (0.0, -1.0, 0.0), (0.0, 1.0, 0.0),
+         (1.5, -1.0, 0.0)], [(0, 1, 2), (1, 3, 2)],
+        material=Material(diffuse=(0.7, 0.4, 0.2))))
+    scm = compile_scene(sbm)
+    um = jnp.linspace(0.44, 0.56, n)
+    om, dm = generate_rays(cam, um, jnp.full(n, 0.45))
+
+    def loss_v(p):
+        s2 = dataclasses.replace(scm, mesh_verts=scm.mesh_verts.at[1].set(p))
+        return jnp.sum(integrator.trace(s2, cfg, om, dm, jnp.zeros(n), keys))
+
+    _, _, err, ok = compare_ad_fd(loss_v, scm.mesh_verts[1])
+    results["mesh_vertex"] = {"max_abs_err": err, "ok": ok}
+
+    # texture-atlas texels (Material.cpp:82-88)
+    sbt = SceneBuilder()
+    sbt.add_light((0., 0., 5.), radius=0.0)
+    img = (np.arange(4 * 4 * 3).reshape(4, 4, 3) * 5 + 16).astype(np.uint8)
+    mt = Material(diffuse=(1.0, 1.0, 1.0))
+    mt.texture_type = 2
+    mt.texture_id = sbt.add_texture(img)
+    sbt.add_square((-1., -1., 0.), (1., 0., 0.), (0., 1., 0.), 4., 4., mt)
+    sct = compile_scene(sbt)
+    ot, dt_ = generate_rays(cam, jnp.linspace(0.35, 0.65, n),
+                            jnp.full(n, 0.5))
+
+    def loss_t(p):
+        s2 = dataclasses.replace(sct, tex_data=p)
+        return jnp.sum(integrator.trace(s2, cfg, ot, dt_, jnp.zeros(n),
+                                        keys))
+
+    g_ad = np.asarray(jax.grad(loss_t)(sct.tex_data), np.float64)
+    touched = np.argwhere(np.abs(g_ad).sum(axis=1) > 0)[:, 0][:2]
+    ok_t = touched.size > 0
+    err_t = 0.0
+    p0n = np.asarray(sct.tex_data, np.float64)
+    for i in touched:
+        for a in range(3):
+            dp = np.zeros_like(p0n)
+            dp[i, a] = 1e-3
+            lp = float(loss_t(jnp.asarray(p0n + dp, jnp.float32)))
+            lm = float(loss_t(jnp.asarray(p0n - dp, jnp.float32)))
+            fd = (lp - lm) / 2e-3
+            err_t = max(err_t, abs(g_ad[i, a] - fd))
+            ok_t &= abs(g_ad[i, a] - fd) < 1e-2 + 5e-2 * max(abs(fd), 1.0)
+    results["texels"] = {"max_abs_err": err_t, "ok": bool(ok_t)}
+
     print(json.dumps(results, indent=2))
     if not all(r["ok"] for r in results.values()):
         sys.exit(1)
@@ -170,7 +275,14 @@ def main(argv=None):
     pr.add_argument("--y", type=int, default=270)
     pr.set_defaults(fn=cmd_probe)
 
-    b = sub.add_parser("benchmark", help="Cornell rays/s benchmark")
+    b = sub.add_parser("benchmark", help="Cornell rays/s benchmark; "
+                       "--occupancy/--profile give per-bounce counters "
+                       "and a jax.profiler trace for any scene")
+    common(b)
+    b.add_argument("--occupancy", action="store_true",
+                   help="report per-bounce active-lane occupancy + rays/s")
+    b.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of one frame to DIR")
     b.set_defaults(fn=cmd_benchmark)
 
     g = sub.add_parser("grad-check", help="AD vs finite-difference check")

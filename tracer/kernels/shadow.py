@@ -74,7 +74,8 @@ def shadow_tables(scene):
 
 
 def _kernel(light_ref, sph_ref, quad_ref, px_ref, py_ref, pz_ref, tm_ref,
-            key_ref, out_ref, *, L, S, Q, K, eps, reference_sampler):
+            key_ref, lv_ref, out_ref, *, L, S, Q, K, eps,
+            reference_sampler):
     px, py, pz = px_ref[:], py_ref[:], pz_ref[:]
     tm = tm_ref[:]
     keys = key_ref[:]
@@ -195,14 +196,27 @@ def _kernel(light_ref, sph_ref, quad_ref, px_ref, py_ref, pz_ref, tm_ref,
         acc = jax.lax.fori_loop(0, K, sample_k, jnp.zeros_like(px))
         out_ref[i] = 1.0 - acc / jnp.float32(K)
 
+    # Wavefront work-skipping: rays die together spatially, so whole
+    # (TILE_ROWS x 128) tiles go dead by bounce 2-3 (occupancy counters:
+    # rt_in_a_weekend b6 is 3% live from bounce 3). A dead tile writes the
+    # default and skips all L x K x (S+Q) shadow tests.
     for i in range(L):
-        one_light(i)
+        out_ref[i] = jnp.ones_like(px)
+
+    @pl.when(jnp.sum(lv_ref[:]) > 0.0)
+    def _():
+        for i in range(L):
+            one_light(i)
 
 
-def shadow_factors(scene, cfg, p, time, keys, eps):
+def shadow_factors(scene, cfg, p, time, keys, eps, live=None):
     """Shadow factor per light for planar hit points p: returns a list of
     L planar [N] float32 arrays (1 = fully lit). Non-differentiable (the
-    Bernoulli outcomes carry zero gradient in the jnp path too)."""
+    Bernoulli outcomes carry zero gradient in the jnp path too).
+
+    `live` [N] bool/f32: lanes whose result is consumed — fully-dead tiles
+    skip the whole shadow loop and return the default 1.0 (their outputs
+    are where-masked away by the integrator)."""
     N = p[0].shape[0]
     L = scene.light_pos.shape[0]
     if L == 0:
@@ -220,6 +234,10 @@ def shadow_factors(scene, cfg, p, time, keys, eps):
     pz = kc.to_tiles(sg(p[2]), n_pad)
     tm = kc.to_tiles(sg(time), n_pad)
     ki = kc.to_tiles(jax.lax.bitcast_convert_type(keys, jnp.int32), n_pad)
+    if live is None:
+        lv = jnp.ones((rows, kc.LANES), jnp.float32)
+    else:
+        lv = kc.to_tiles(sg(jnp.where(live, 1.0, 0.0)), n_pad)
 
     kern = functools.partial(
         _kernel, L=L, S=S, Q=Q, K=K, eps=float(eps),
@@ -243,10 +261,12 @@ def shadow_factors(scene, cfg, p, time, keys, eps):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tr, kc.LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, kc.LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((L, tr, kc.LANES), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((L, rows, kc.LANES), jnp.float32),
         interpret=kc.interpret(),
-    )(sg(light_tab), sg(sph_tab), sg(quad_tab), px, py, pz, tm, ki)
+    )(sg(light_tab), sg(sph_tab), sg(quad_tab), px, py, pz, tm, ki, lv)
     return [kc.from_tiles(out[i], N) for i in range(L)]

@@ -437,11 +437,14 @@ def _scatter_p(scene, cfg: RenderConfig, d, n, p, mtype, ior, keys):
     return o_out, d_out
 
 
-def trace(scene, cfg: RenderConfig, o, d, time, keys):
+def trace(scene, cfg: RenderConfig, o, d, time, keys, with_aux=False):
     """Trace a ray batch to radiance [N,3].
 
     o,d: [N,3]; time: [N]; keys: [N] per-ray PRNG keys (pixel+sample
     folded). Equivalent of Scene::rayTrace (Scene.h:345-350) over a batch.
+    `with_aux=True` additionally returns {"occupancy": [B]} — the fraction
+    of lanes still active at the START of each bounce (observability;
+    SURVEY.md §5 tracing plan).
     """
     from tracer.render import shading
     from tracer.kernels import common as kcommon
@@ -475,38 +478,44 @@ def trace(scene, cfg: RenderConfig, o, d, time, keys):
         throughput = state["throughput"]
         acc = state["acc"]
         n_rem = B - b  # NRemainingBounces at this depth
+        occupancy = jnp.mean(jnp.where(active, 1.0, 0.0))
 
         bkeys = rng.salted(keys, b)
         a2 = vp.dot(d, d)
 
-        t_all, tri_mesh = _scene_candidates_p(scene, o, d, a2, time, eps,
-                                              kernels_on)
+        with jax.named_scope("traverse"):
+            t_all, tri_mesh = _scene_candidates_p(scene, o, d, a2, time,
+                                                  eps, kernels_on)
         j = jnp.argmin(t_all, axis=0)
         tmin = jnp.min(t_all, axis=0)
         miss = tmin >= INF * 0.5
 
         # sky on miss (Scene.h:300-303). where-select (not multiply-by-
         # weight) so a NaN/Inf on an inactive lane can never poison acc.
-        sky = shading.skybox_color_p(
-            scene, d, jnp.broadcast_to(n_rem, zero.shape), ref,
-            packed=kernels_on)
+        with jax.named_scope("sky"):
+            sky = shading.skybox_color_p(
+                scene, d, jnp.broadcast_to(n_rem, zero.shape), ref,
+                packed=kernels_on)
         acc = tuple(acc[a] + jnp.where(active & miss,
                                        throughput[a] * sky[a], 0.0)
                     for a in range(3))
 
-        hit = _gather_hit_p(scene, o, d, a2, time, j, tri_mesh, eps,
-                            kernels_on)
+        with jax.named_scope("shade"):
+            hit = _gather_hit_p(scene, o, d, a2, time, j, tri_mesh, eps,
+                                kernels_on)
         live = active & ~miss
 
-        direct = _direct_lighting_p(scene, cfg, hit["p"], hit["n"], time,
-                                    hit["transp"], hit["diffuse"], bkeys,
-                                    eps)
+        with jax.named_scope("direct_light"):
+            direct = _direct_lighting_p(scene, cfg, hit["p"], hit["n"],
+                                        time, hit["transp"], hit["diffuse"],
+                                        bkeys, eps)
         acc = tuple(acc[a] + jnp.where(
             live, throughput[a] * (direct[a] + hit["emission"][a]), 0.0)
             for a in range(3))
 
-        o2, d2 = _scatter_p(scene, cfg, d, hit["n"], hit["p"], hit["mtype"],
-                            hit["ior"], bkeys)
+        with jax.named_scope("scatter"):
+            o2, d2 = _scatter_p(scene, cfg, d, hit["n"], hit["p"],
+                                hit["mtype"], hit["ior"], bkeys)
         state = dict(
             o=vp.where(live, o2, o),
             d=vp.where(live, d2, d),
@@ -516,10 +525,17 @@ def trace(scene, cfg: RenderConfig, o, d, time, keys):
             active=live,
             acc=acc,
         )
-        return state, None
+        return state, occupancy
 
-    state, _ = jax.lax.scan(bounce, state, jnp.arange(B))
+    # Rematerialize each bounce in the backward pass: the default scan AD
+    # saves dozens of [N]-sized residuals per bounce and runs an unfused
+    # bwd body (~7.8 ms/bounce measured vs ~1 ms fwd — benchmarks/
+    # profile_bwd2.py); recomputing the 1 ms forward body instead makes
+    # fwd+bwd ~2-3x faster and O(carry) memory.
+    state, occ = jax.lax.scan(jax.checkpoint(bounce), state, jnp.arange(B))
     out = vp.pack(state["acc"])
     if ref:
         out = out / jnp.float32(B)  # Scene.h:347-349 quirk
+    if with_aux:
+        return out, {"occupancy": occ}
     return out
