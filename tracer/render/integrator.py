@@ -140,7 +140,10 @@ def _geo_packs(scene):
         scene.tex_h[scene.mat_tex],
         scene.nm_off[scene.mat_nm], scene.nm_w[scene.mat_nm],
         scene.nm_h[scene.mat_nm],
-        scene.mat_type, scene.mat_nm], axis=1)                    # [M, 9] i32
+        scene.mat_type, scene.mat_nm,
+        scene.mat_pair_wa, scene.mat_pair_ha, scene.mat_pair_wb,
+        scene.mat_pair_hb, scene.mat_pair_off,
+        scene.mat_pair_tex, scene.mat_pair_nm], axis=1)          # [M, 16] i32
     return sph, quad, matf, mati
 
 
@@ -248,18 +251,51 @@ def _gather_hit_p(scene, o, d, a2, time, j, tri_mesh, eps,
     textype = mri[:, 0]
 
     # ONE shared atlas fetch serves both diffuse texturing and emission
-    # (Material.cpp:63-92 / 13-24 use the same (slot, u, v) texel); when the
-    # scene also has normal maps and the fast path is on, the texture and
-    # normal-map texels come from a single FUSED gather (packed_fetch2).
+    # (Material.cpp:63-92 / 13-24 use the same (slot, u, v) texel). Fast
+    # paths by preference: pair_pack (ONE gather for texture AND normal
+    # map — scene/device.py pair_mode), else packed_fetch2 (one fused
+    # 2N-row gather), else the exact [P,3] row gathers.
     has_tex = scene.tex_data.shape[0] > 1
     has_nm = scene.nm_data.shape[0] > 1
-    fused = kernels_on and has_tex and has_nm
+    use_pair = (kernels_on and scene.pair_mode
+                and scene.pair_pack.shape[0] > 1 and (has_tex or has_nm))
+    fused = kernels_on and has_tex and has_nm and not use_pair
     raw_nm = npresent = None
-    if has_nm:
+    if use_pair:
+        # pair-region index: xa/ya from the primary dims; for product
+        # regions (mismatched tex/nm dims) add the staircase of the second
+        # image — the sum uniquely identifies the texel pair
+        # (scene/device.py _axis_pairs).
+        xa, ya = shading._texel_xy(mri[:, 9], mri[:, 10], u_tex, v_tex,
+                                   sx, sy)
+        xb, yb = shading._texel_xy(mri[:, 11], mri[:, 12], u_tex, v_tex,
+                                   sx, sy)
+        wc = mri[:, 9] + jnp.maximum(mri[:, 11] - 1, 0)
+        rel = (ya + yb) * wc + xa + xb
+        row_idx = mri[:, 13] + rel // shading.PACK_BLOCK
+        sub = rel % shading.PACK_BLOCK
+        # exact atlas indices for the texel-gradient scatter (custom VJP):
+        # tex uses its own dims (cols 2,3), nm its own (cols 5,6)
+        xt, yt = shading._texel_xy(mri[:, 2], mri[:, 3], u_tex, v_tex,
+                                   sx, sy)
+        xn, yn = shading._texel_xy(mri[:, 5], mri[:, 6], u_tex, v_tex,
+                                   sx, sy)
+        idx_t = jnp.clip(mri[:, 1] + yt * mri[:, 2] + xt, 0,
+                         scene.tex_data.shape[0] - 1)
+        idx_n = jnp.clip(mri[:, 4] + yn * mri[:, 5] + xn, 0,
+                         scene.nm_data.shape[0] - 1)
+        ptex = mri[:, 14] > 0
+        pnm = mri[:, 15] > 0
+        img, raw_nm = shading.paired_fetch(
+            scene.tex_data, scene.nm_data, scene.pair_pack, row_idx, sub,
+            idx_t, idx_n, ptex, pnm)
+        present = ptex
+        npresent = pnm
+    elif has_nm:
         nm_idx, npresent = shading._texel_index(
             scene.nm_data.shape[0], mri[:, 4], mri[:, 5], mri[:, 6],
             u_tex, v_tex, sx, sy)
-    if has_tex:
+    if not use_pair and has_tex:
         tex_idx, present = shading._texel_index(
             scene.tex_data.shape[0], mri[:, 1], mri[:, 2], mri[:, 3],
             u_tex, v_tex, sx, sy)
@@ -272,7 +308,7 @@ def _gather_hit_p(scene, o, d, a2, time, j, tri_mesh, eps,
                                        tex_idx)
         else:
             img = vp.splat(scene.tex_data[tex_idx])
-    else:
+    elif not use_pair:
         img = vp.full_like(o, 0.0)
         present = jnp.zeros(N, bool)
     from tracer.core.mathutils import trunc_mod2

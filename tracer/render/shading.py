@@ -124,6 +124,58 @@ def _packed_fetch2_bwd(res, g):
 packed_fetch2.defvjp(_packed_fetch2_fwd, _packed_fetch2_bwd)
 
 
+def _paired_decode(pair_pack, row_idx, sub):
+    """Fetch (texture, normal-map) texels from the pair-packed atlas
+    (scene/device.py pair_pack): ONE [N]-row gather of 32-u32 rows serves
+    both per-bounce fetches — the XLA gather is row-count-bound (~2 ns/row,
+    benchmarks/gather_exp8.py), so this halves the dominant cost of a
+    textured bounce. Returns ((r,g,b), (r,g,b)) planar f32, decode
+    bit-identical to data[idx] (same byte -> f32 * f32(1/255))."""
+    rows = pair_pack[row_idx]                                # [N, 32] i32
+    oh = (sub[:, None] == jnp.arange(PACK_BLOCK, dtype=jnp.int32)[None]
+          ).astype(jnp.int32)
+    vt = jnp.sum(rows[:, :PACK_BLOCK] * oh, axis=1)
+    vn = jnp.sum(rows[:, PACK_BLOCK:] * oh, axis=1)
+    k = jnp.float32(1.0 / 255.0)
+    to = lambda c: c.astype(jnp.float32) * k                 # noqa: E731
+    dec = lambda v: (to(jax.lax.shift_right_logical(v, 16) & 0xFF),  # noqa
+                     to(jax.lax.shift_right_logical(v, 8) & 0xFF),
+                     to(v & 0xFF))
+    return dec(vt), dec(vn)
+
+
+@jax.custom_vjp
+def paired_fetch(data_t, data_n, pair_pack, row_idx, sub, idx_t, idx_n,
+                 tex_ok, nm_ok):
+    """Fused texture+normal-map texel fetch through the pair-packed atlas
+    (one gather; see _paired_decode), with texel gradients scatter-added
+    onto data_t / data_n at the true atlas indices idx_t / idx_n (masked by
+    the per-lane validity of each half) — texels stay first-class
+    differentiable parameters (Material.cpp:82-88 recast)."""
+    return _paired_decode(pair_pack, row_idx, sub)
+
+
+def _paired_fetch_fwd(data_t, data_n, pair_pack, row_idx, sub, idx_t, idx_n,
+                      tex_ok, nm_ok):
+    return (_paired_decode(pair_pack, row_idx, sub),
+            (data_t, data_n, idx_t, idx_n, tex_ok, nm_ok))
+
+
+def _paired_fetch_bwd(res, g):
+    data_t, data_n, idx_t, idx_n, tex_ok, nm_ok = res
+    gt, gn = g
+    mt = jnp.where(tex_ok, 1.0, 0.0)
+    mn = jnp.where(nm_ok, 1.0, 0.0)
+    ct = jnp.zeros_like(data_t).at[idx_t].add(
+        jnp.stack([gt[0] * mt, gt[1] * mt, gt[2] * mt], axis=-1))
+    cn = jnp.zeros_like(data_n).at[idx_n].add(
+        jnp.stack([gn[0] * mn, gn[1] * mn, gn[2] * mn], axis=-1))
+    return ct, cn, None, None, None, None, None, None, None
+
+
+paired_fetch.defvjp(_paired_fetch_fwd, _paired_fetch_bwd)
+
+
 def _atlas_fetch(data, off, w, h, slot, u, v, scale_x, scale_y):
     """Nearest-texel fetch replicating Material.cpp:82-88:
     u' = fmod(u*sx, 1), v' = 1 - fmod(v*sy, 1), x = int(u'*(w-1)),
@@ -265,6 +317,19 @@ def _magenta_checker_p(u, v):
     same = trunc_mod2(u * 8.0) == trunc_mod2(v * 8.0)
     on = jnp.where(same, 0.0, 1.0)
     return (on, jnp.zeros_like(on), on)
+
+
+def _texel_xy(W, H, u, v, sx, sy):
+    """Image-relative nearest-texel (x, y) (Material.cpp:82-88) — the
+    staircase coordinates the pair-packed fetch sums (scene/device.py
+    pair regions; W=0 yields (0, 0))."""
+    uu = cpp_fmod(u * sx, 1.0)
+    vv = 1.0 - cpp_fmod(v * sy, 1.0)
+    x = jnp.trunc(uu * (W - 1).astype(jnp.float32)).astype(jnp.int32)
+    y = jnp.trunc(vv * (H - 1).astype(jnp.float32)).astype(jnp.int32)
+    x = jnp.clip(x, 0, jnp.maximum(W - 1, 0))
+    y = jnp.clip(y, 0, jnp.maximum(H - 1, 0))
+    return x, y
 
 
 def _texel_index(P, off_r, W, H, u, v, sx, sy):

@@ -113,6 +113,22 @@ class DeviceScene:
     tex_pack: jnp.ndarray        # [ceil(P/16), 16] i32
     nm_pack: jnp.ndarray         # [ceil(Pn/16), 16] i32
     sky_pack: jnp.ndarray        # [ceil(Ps/16), 16] i32
+    # Pair-packed atlas: ONE row = 16 texture words (cols 0:16) + the 16
+    # normal-map words of the SAME texel indices (cols 16:32). One N-row
+    # gather per bounce then serves BOTH fetches — the per-row-count-bound
+    # XLA gather is the measured hot spot of the whole frame
+    # (benchmarks/gather_exp8.py: ~2 ns/row regardless of width), so
+    # halving row count is ~2x on the texture path. Built per (tex slot,
+    # nm slot) pair region; only usable when every quad material that has
+    # both an image texture and a normal map has MATCHING dims (pair_mode).
+    pair_pack: jnp.ndarray       # [Rp, 32] i32
+    mat_pair_off: jnp.ndarray    # [M] i32 pair-region row offset
+    mat_pair_wa: jnp.ndarray     # [M] i32 primary index-space width
+    mat_pair_ha: jnp.ndarray     # [M] i32 primary index-space height
+    mat_pair_wb: jnp.ndarray     # [M] i32 product-region 2nd width (0=plain)
+    mat_pair_hb: jnp.ndarray     # [M] i32 product-region 2nd height
+    mat_pair_tex: jnp.ndarray    # [M] i32 1 = cols 0:16 hold real texels
+    mat_pair_nm: jnp.ndarray     # [M] i32 1 = cols 16:32 hold real texels
 
     # --- lights ----------------------------------------------------------
     light_pos: jnp.ndarray       # [L, 3]
@@ -130,6 +146,7 @@ class DeviceScene:
     mesh_end: Tuple[int, ...] = ()    # per-mesh BVH node range end
     leaf_width: int = 4
     has_sky_image: bool = False
+    pair_mode: bool = False           # pair_pack covers every needed fetch
 
     # --- static helpers --------------------------------------------------
     @property
@@ -154,7 +171,7 @@ class DeviceScene:
 
 
 _fields = [f.name for f in dataclasses.fields(DeviceScene)]
-_meta = ["mesh_root", "mesh_end", "leaf_width", "has_sky_image"]
+_meta = ["mesh_root", "mesh_end", "leaf_width", "has_sky_image", "pair_mode"]
 jax.tree_util.register_dataclass(
     DeviceScene,
     data_fields=[f for f in _fields if f not in _meta],
@@ -224,6 +241,186 @@ def _atlas(images) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray,
     return (rows_u8.astype(np.float32) * np.float32(1.0 / 255.0),
             np.asarray(off, np.int32), np.asarray(ws, np.int32),
             np.asarray(hs, np.int32), _pack_u8_atlas(rows_u8))
+
+
+TEX_IMAGE = 2  # builder Material.texture_type image value (shading.TEX_IMAGE)
+
+# pair_mode is disabled when the pair atlas would exceed this many texel
+# entries (product regions of huge mismatched images can blow up).
+_PAIR_MAX_ENTRIES = 64 * 1024 * 1024
+
+
+def _axis_pairs(Wa: int, Wb: int):
+    """All f32-achievable (x_a, x_b) = (trunc(w*(Wa-1)), trunc(w*(Wb-1)))
+    for f32 w in [0, 1], as arrays indexed by the sum s = x_a + x_b.
+
+    Both staircases are monotone nondecreasing in w, so the sum strictly
+    increases at every transition => each achievable sum identifies a
+    UNIQUE pair; this is what lets two images of different widths share one
+    fetch index (DeviceScene.pair_pack product regions). The walk samples
+    ulp-neighborhoods of every exact breakpoint plus interval midpoints in
+    f32 — the same arithmetic the device fetch uses (shading._texel_rel) —
+    so the table covers exactly the pairs the device can produce. Returns
+    (xa[s], xb[s], ok) with -1 at unachievable sums; ok=False on a
+    consistency violation (caller falls back to pair_mode=False).
+    """
+    bps = {0.0, 1.0}
+    for W in (Wa, Wb):
+        for k in range(1, max(W - 1, 0) + 1):
+            bps.add(k / (W - 1))
+    b64 = np.array(sorted(bps), np.float64)
+    mids = ((b64[:-1] + b64[1:]) / 2).astype(np.float32)
+    f32b = b64.astype(np.float32)
+    cands = [f32b, mids]
+    lo = f32b
+    hi = f32b
+    for _ in range(8):  # +-8 ulps around each breakpoint
+        lo = np.nextafter(lo, np.float32(-1.0), dtype=np.float32)
+        hi = np.nextafter(hi, np.float32(2.0), dtype=np.float32)
+        cands.append(lo)
+        cands.append(hi)
+    w = np.unique(np.clip(np.concatenate(cands), np.float32(0.0),
+                          np.float32(1.0)))
+
+    def stairs(W):
+        x = np.trunc(w * np.float32(W - 1))
+        return np.clip(x, 0, max(W - 1, 0)).astype(np.int64)
+
+    xa = stairs(Wa)
+    xb = stairs(Wb)
+    s = xa + xb
+    Sc = (Wa - 1) + (Wb - 1) + 1
+    ta = np.full(Sc, -1, np.int64)
+    tb = np.full(Sc, -1, np.int64)
+    ok = True
+    # vectorized "each sum -> one pair" fill + consistency check
+    order = np.argsort(s, kind="stable")
+    s_o, xa_o, xb_o = s[order], xa[order], xb[order]
+    first = np.ones(len(s_o), bool)
+    first[1:] = s_o[1:] != s_o[:-1]
+    ta[s_o[first]] = xa_o[first]
+    tb[s_o[first]] = xb_o[first]
+    if np.any(ta[s] != xa) or np.any(tb[s] != xb):
+        ok = False
+    return ta, tb, ok
+
+
+def _build_pair_atlas(mats, quad_rows, textures, normal_maps):
+    """Pair-packed atlas (see DeviceScene.pair_pack).
+
+    For each material that fetches texels, allocate a region keyed by its
+    (texture slot, normal-map slot) pair: rows of 16 texture words (cols
+    0:16) + 16 normal-map words (cols 16:32), so the per-bounce texture and
+    normal-map fetches share ONE gather. A material needs the nm half only
+    if it is used by a quad (the reference applies normal maps to squares
+    only, Scene.h:284).
+
+    Matched dims: the region is the tex index space and the nm texel sits
+    at the same index. Mismatched dims: a PRODUCT region indexed by
+    rel = (y_t+y_n)*(Wt+Wn-1) + (x_t+x_n) — monotone-staircase sums
+    uniquely identify the (tex, nm) texel pair (see _axis_pairs).
+
+    Returns (pack [Rp,32] i32, off[M], wa[M], ha[M], wb[M], hb[M],
+    tex_ok[M], nm_ok[M], pair_mode).
+    """
+    M = len(mats)
+    off = np.zeros(M, np.int32)
+    wa = np.zeros(M, np.int32)
+    ha = np.zeros(M, np.int32)
+    wb = np.zeros(M, np.int32)
+    hb = np.zeros(M, np.int32)
+    tex_ok = np.zeros(M, np.int32)
+    nm_ok = np.zeros(M, np.int32)
+    empty = np.zeros((1, 2 * PACK_BLOCK), np.int32)
+
+    def bail():
+        z = np.zeros(M, np.int32)
+        return (jnp.asarray(empty), jnp.asarray(z), jnp.asarray(z),
+                jnp.asarray(z), jnp.asarray(z), jnp.asarray(z),
+                jnp.asarray(z), jnp.asarray(z), False)
+
+    def word(img):
+        v = img.reshape(-1, 3).astype(np.int32)
+        return (v[:, 0] << 16) | (v[:, 1] << 8) | v[:, 2]
+
+    regions: dict = {}
+    blocks = []
+    cursor = 0
+    total_entries = 0
+    for mi, m in enumerate(mats):
+        is_quad = mi in quad_rows
+        tslot = m.texture_id if m.texture_type == TEX_IMAGE else -1
+        timg = (textures[tslot] if 0 <= tslot < len(textures) else None)
+        nslot = m.normal_map_id if is_quad else -1
+        nimg = (normal_maps[nslot] if 0 <= nslot < len(normal_maps)
+                else None)
+        if timg is None and nimg is None:
+            continue
+        key = (tslot if timg is not None else -1,
+               nslot if nimg is not None else -1)
+        if key not in regions:
+            if timg is not None and nimg is not None \
+                    and timg.shape[:2] != nimg.shape[:2]:
+                # product region
+                Ht, Wt = timg.shape[:2]
+                Hn, Wn = nimg.shape[:2]
+                xt, xn, okx = _axis_pairs(Wt, Wn)
+                yt, yn, oky = _axis_pairs(Ht, Hn)
+                if not (okx and oky):
+                    return bail()
+                Wc = Wt + Wn - 1
+                Hc = Ht + Hn - 1
+                P = Wc * Hc
+                total_entries += P
+                if total_entries > _PAIR_MAX_ENTRIES:
+                    return bail()
+                tflat = word(timg)
+                nflat = word(nimg)
+                # entry (sy, sx): tex[yt[sy]*Wt+xt[sx]], nm[yn[sy]*Wn+xn[sx]]
+                xt_s = np.where(xt < 0, 0, xt)
+                xn_s = np.where(xn < 0, 0, xn)
+                yt_s = np.where(yt < 0, 0, yt)
+                yn_s = np.where(yn < 0, 0, yn)
+                hole = (xt[None, :] < 0) | (yt[:, None] < 0)
+                ti = yt_s[:, None] * Wt + xt_s[None, :]
+                ni = yn_s[:, None] * Wn + xn_s[None, :]
+                tw = np.where(hole, 0, tflat[ti]).reshape(-1)
+                nw = np.where(hole, 0, nflat[ni]).reshape(-1)
+                rows = (P + PACK_BLOCK - 1) // PACK_BLOCK
+                tw = np.concatenate(
+                    [tw, np.zeros(rows * PACK_BLOCK - P, np.int32)])
+                nw = np.concatenate(
+                    [nw, np.zeros(rows * PACK_BLOCK - P, np.int32)])
+                dims = (Wt, Ht, Wn, Hn)
+            else:
+                base = timg if timg is not None else nimg
+                H, W = base.shape[:2]
+                P = H * W
+                total_entries += P
+                if total_entries > _PAIR_MAX_ENTRIES:
+                    return bail()
+                rows = (P + PACK_BLOCK - 1) // PACK_BLOCK
+                tw = np.zeros(rows * PACK_BLOCK, np.int32)
+                nw = np.zeros(rows * PACK_BLOCK, np.int32)
+                if timg is not None:
+                    tw[:P] = word(timg)
+                if nimg is not None:
+                    nw[:P] = word(nimg)
+                dims = (W, H, 0, 0)
+            blocks.append(np.concatenate(
+                [tw.reshape(rows, PACK_BLOCK),
+                 nw.reshape(rows, PACK_BLOCK)], axis=1))
+            regions[key] = (cursor,) + dims
+            cursor += rows
+        o, Wa_, Ha_, Wb_, Hb_ = regions[key]
+        off[mi] = o
+        wa[mi], ha[mi], wb[mi], hb[mi] = Wa_, Ha_, Wb_, Hb_
+        tex_ok[mi] = 1 if timg is not None else 0
+        nm_ok[mi] = 1 if nimg is not None else 0
+    pack = np.concatenate(blocks, axis=0) if blocks else empty
+    return (jnp.asarray(pack), jnp.asarray(off), jnp.asarray(wa),
+            jnp.asarray(ha), jnp.asarray(wb), jnp.asarray(hb),
+            jnp.asarray(tex_ok), jnp.asarray(nm_ok), True)
 
 
 def compile_scene(sb: B.SceneBuilder, leaf_width: int = 4,
@@ -403,6 +600,11 @@ def compile_scene(sb: B.SceneBuilder, leaf_width: int = 4,
     tex_data, tex_off, tex_w, tex_h, tex_pack = _atlas(sb.textures)
     nm_data, nm_off, nm_w, nm_h, nm_pack = _atlas(sb.normal_maps)
 
+    quad_rows = set(int(quad_mat[i]) for i in range(Q))
+    (pair_pack, mat_pair_off, mat_pair_wa, mat_pair_ha, mat_pair_wb,
+     mat_pair_hb, mat_pair_tex, mat_pair_nm, pair_mode) = _build_pair_atlas(
+        mats, quad_rows, sb.textures, sb.normal_maps)
+
     # ---- lights ---------------------------------------------------------
     L = len(sb.lights)
     light_pos = (np.stack([l.pos for l in sb.lights])
@@ -452,6 +654,10 @@ def compile_scene(sb: B.SceneBuilder, leaf_width: int = 4,
         tex_h=jf(tex_h),
         nm_data=jf(nm_data), nm_off=jf(nm_off), nm_w=jf(nm_w), nm_h=jf(nm_h),
         tex_pack=jf(tex_pack), nm_pack=jf(nm_pack), sky_pack=jf(sky_pack),
+        pair_pack=pair_pack, mat_pair_off=mat_pair_off,
+        mat_pair_wa=mat_pair_wa, mat_pair_ha=mat_pair_ha,
+        mat_pair_wb=mat_pair_wb, mat_pair_hb=mat_pair_hb,
+        mat_pair_tex=mat_pair_tex, mat_pair_nm=mat_pair_nm,
         light_pos=jf(light_pos), light_radius=jf(light_radius),
         light_color=jf(light_color),
         sky_data=jf(sky_data), sky_w=jf(np.int32(sw)), sky_h=jf(np.int32(sh)),
@@ -460,4 +666,5 @@ def compile_scene(sb: B.SceneBuilder, leaf_width: int = 4,
         mesh_end=tuple(int(x) for x in mesh_end_l),
         leaf_width=leaf_width,
         has_sky_image=sb.skybox is not None,
+        pair_mode=pair_mode,
     )
