@@ -152,6 +152,59 @@ def test_trace_mesh_scene_with_kernels_matches_jnp():
                                atol=2e-5, rtol=0)
 
 
+@pytest.mark.parametrize("compat", ["reference", "physical"])
+def test_shadow_kernel_mesh_occluders(compat):
+    """Shadow kernel with MESH occluders (in-kernel BVH packet walk) vs the
+    jnp megabatch path, on a scene mixing mesh + sphere + quad occluders
+    and a transparent mesh (stochastic shadows)."""
+    from tracer.kernels import shadow as kshadow
+    from tracer.scene.builder import SceneBuilder, Material
+
+    from tracer.scene.builder import MeshObject
+
+    sb = SceneBuilder()
+    sb.add_light((-2., 4., 3.), radius=1.0)
+    sb.add_light((3., 2., 1.), radius=0.5)
+    # icosphere-ish occluder between light 0 and the sample line
+    th = np.linspace(0, 2 * np.pi, 9)[:-1]
+    ring = np.stack([np.cos(th), np.sin(th), 0 * th], -1).astype(np.float32)
+    verts = np.concatenate([[[0, 0, 1.]], ring, [[0, 0, -1.]]],
+                           0).astype(np.float32)
+    tris = np.concatenate([
+        [[0, 1 + i, 1 + (i + 1) % 8] for i in range(8)],
+        [[9, 1 + (i + 1) % 8, 1 + i] for i in range(8)]]).astype(np.int32)
+    m1 = MeshObject(verts, tris, material=Material(diffuse=(.8, .8, .8)))
+    m1.translate((-0.5, 0.8, 0.8))
+    sb.add_mesh(m1)
+    m2 = MeshObject(
+        np.array([[0, .5, 1.2], [1, .4, 1.1], [.5, 1.4, 1.3]], np.float32),
+        np.array([[0, 1, 2]], np.int32),
+        material=Material(diffuse=(.5, .5, .9), transparency=0.5, mtype=1))
+    sb.add_mesh(m2)
+    sb.add_sphere((1.5, 0.4, -1.0), 0.5, Material(diffuse=(.2, .2, .9)))
+    s = sb.add_square((-1., -1., 0.), (1., 0., 0.), (0., 1., 0.), 8., 8.,
+                      Material(diffuse=(.3, .6, .9)))
+    s.rotate_x(-90).translate((0., -1.5, 0.))
+    scene = compile_scene(sb)
+    assert scene.n_meshes == 2
+
+    cfg = RenderConfig(shadow_rays=4, compat=compat, kernels="on")
+    _, _, time, keys = _rays()
+    t = jnp.linspace(-1.0, 3.0, 192)
+    p = (t, jnp.full_like(t, -1.4), -t * 0.75)
+    eps = cfg.epsilon
+
+    got = kshadow.shadow_factors(scene, cfg, p, time, keys, eps)
+    want = [integrator._shadow_factor_jnp(scene, cfg, p, time, keys, eps, i)
+            for i in range(scene.n_lights)]
+    assert len(got) == len(want) == 2
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=1e-6, rtol=0)
+    # light 0 must actually be occluded (the mesh sits in its path)
+    assert np.asarray(want[0]).std() > 0
+
+
 def test_packed_atlas_bit_parity_and_grads():
     """The packed-u32 atlas fast path (shading.packed_fetch) must be
     BIT-identical to the [P,3] row-gather path on a textured+normal-mapped

@@ -73,9 +73,13 @@ def shadow_tables(scene):
     return light_tab, sph_tab, quad_tab
 
 
-def _kernel(light_ref, sph_ref, quad_ref, px_ref, py_ref, pz_ref, tm_ref,
-            key_ref, lv_ref, out_ref, *, L, S, Q, K, eps,
-            reference_sampler):
+def _kernel(light_ref, sph_ref, quad_ref, *rest, L, S, Q, K, eps,
+            reference_sampler, mesh_ranges):
+    if mesh_ranges:
+        (mesh_ref, nodes_f_ref, nodes_i_ref, leaf_ref,
+         px_ref, py_ref, pz_ref, tm_ref, key_ref, lv_ref, out_ref) = rest
+    else:
+        (px_ref, py_ref, pz_ref, tm_ref, key_ref, lv_ref, out_ref) = rest
     px, py, pz = px_ref[:], py_ref[:], pz_ref[:]
     tm = tm_ref[:]
     keys = key_ref[:]
@@ -191,6 +195,24 @@ def _kernel(light_ref, sph_ref, quad_ref, px_ref, py_ref, pz_ref, tm_ref,
             blocked = jax.lax.fori_loop(
                 0, S, sph_body, jnp.zeros_like(px))
             blocked = jax.lax.fori_loop(0, Q, quad_body, blocked)
+
+            # Mesh occluders (Scene::computeShadow scans meshes too,
+            # Scene.h:244-249): ONE candidate per mesh — its closest raw
+            # hit, rejected wholesale below eps (quirk parity with
+            # integrator._scene_candidates_p's eps cut). The packet walk
+            # prunes nodes beyond the light distance (hits there can't
+            # block).
+            from tracer.kernels.traverse import packet_walk
+            for m, (root, end) in enumerate(mesh_ranges):
+                bt, _ = packet_walk(nodes_f_ref, nodes_i_ref, leaf_ref,
+                                    root, end, sox, soy, soz,
+                                    sdx, sdy, sdz, tmax=t_light)
+                transp_m = mesh_ref[m, 0]
+                cand = (bt >= eps) & (bt < t_light)
+                u_o = kc.to_unit_i32(kc.pcg_i32(
+                    kc.mix_i32(bk, S + Q + m + 2)))
+                blocked = jnp.maximum(
+                    blocked, jnp.where(cand & (u_o > transp_m), 1.0, 0.0))
             return acc + blocked
 
         acc = jax.lax.fori_loop(0, K, sample_k, jnp.zeros_like(px))
@@ -225,8 +247,13 @@ def shadow_factors(scene, cfg, p, time, keys, eps, live=None):
     S = sph_tab.shape[0]
     Q = quad_tab.shape[0]
     K = cfg.shadow_rays
+    Nm = scene.mesh_mat.shape[0]
 
-    n_pad = kc.pad_rows(N)
+    # Mesh scenes walk the BVH per (light, sample): keep packets small
+    # (8x128 rays) so the walk stays selective; scene-table-only kernels
+    # use big tiles (fewer grid steps / SMEM re-reads).
+    tr = 8 if Nm > 0 else kc.TILE_ROWS
+    n_pad = kc.pad_rows(N, tr)
     rows = n_pad // kc.LANES
     sg = jax.lax.stop_gradient
     px = kc.to_tiles(sg(p[0]), n_pad)
@@ -239,34 +266,34 @@ def shadow_factors(scene, cfg, p, time, keys, eps, live=None):
     else:
         lv = kc.to_tiles(sg(jnp.where(live, 1.0, 0.0)), n_pad)
 
+    mesh_inputs = []
+    mesh_specs = []
+    mesh_ranges = ()
+    if Nm > 0:
+        from tracer.kernels.traverse import traverse_tables
+        nodes_f, nodes_i, leaf = traverse_tables(scene)
+        mesh_tab = scene.mat_transparency[scene.mesh_mat][:, None]  # [Nm,1]
+        mesh_inputs = [sg(mesh_tab), sg(nodes_f), sg(nodes_i), sg(leaf)]
+        mesh_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] \
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+        mesh_ranges = tuple(zip(scene.mesh_root, scene.mesh_end))
+
     kern = functools.partial(
         _kernel, L=L, S=S, Q=Q, K=K, eps=float(eps),
-        reference_sampler=(cfg.compat == "reference"))
-    tr = kc.TILE_ROWS
+        reference_sampler=(cfg.compat == "reference"),
+        mesh_ranges=mesh_ranges)
     grid = rows // tr
+    ray_spec = pl.BlockSpec((tr, kc.LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kern,
         grid=(grid,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((tr, kc.LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tr, kc.LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tr, kc.LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tr, kc.LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tr, kc.LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tr, kc.LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
+        + mesh_specs + [ray_spec] * 6,
         out_specs=pl.BlockSpec((L, tr, kc.LANES), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((L, rows, kc.LANES), jnp.float32),
         interpret=kc.interpret(),
-    )(sg(light_tab), sg(sph_tab), sg(quad_tab), px, py, pz, tm, ki, lv)
+    )(sg(light_tab), sg(sph_tab), sg(quad_tab), *mesh_inputs,
+      px, py, pz, tm, ki, lv)
     return [kc.from_tiles(out[i], N) for i in range(L)]

@@ -80,89 +80,103 @@ def traverse_tables(scene):
     return nodes_f, nodes_i, leaf
 
 
+def packet_walk(nodes_f_ref, nodes_i_ref, leaf_ref, root, end,
+                ox, oy, oz, dx, dy, dz, tmax=None):
+    """Stackless skip-link packet walk over one mesh's node range: the
+    whole ray tile advances through the preorder together; leaf updates are
+    gated per lane on that lane's own slab test. Returns (closest t, tri id)
+    per lane (INF / -1 on miss) — identical to primitives.bvh_closest_hit
+    (see module docstring for the parity argument).
+
+    `tmax` (optional per-lane bound, e.g. a shadow ray's light distance)
+    tightens the slab prune: hits beyond it can only exist in nodes whose
+    entry t exceeds tmax, and callers only consume t < tmax."""
+    # slab_hit computes inv = 1/d per node — identical value, hoisted
+    invx, invy, invz = 1.0 / dx, 1.0 / dy, 1.0 / dz
+
+    def cond(carry):
+        return carry[0] < end
+
+    def body(carry):
+        i, bt, btri = carry
+        nf = nodes_f_ref[pl.ds(i, 1), :]                 # (1, 8)
+        t0x = (nf[0, 0] - ox) * invx
+        t1x = (nf[0, 3] - ox) * invx
+        t0y = (nf[0, 1] - oy) * invy
+        t1y = (nf[0, 4] - oy) * invy
+        t0z = (nf[0, 2] - oz) * invz
+        t1z = (nf[0, 5] - oz) * invz
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                     jnp.minimum(t0y, t1y)),
+                         jnp.minimum(t0z, t1z))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                     jnp.maximum(t0y, t1y)),
+                         jnp.maximum(t0z, t1z))
+        near = bt if tmax is None else jnp.minimum(bt, tmax)
+        lane_hit = jnp.minimum(near, tf) > jnp.maximum(0.0, tn)
+        any_hit = jnp.any(lane_hit)
+        ni = nodes_i_ref[pl.ds(i, 1), :]                 # (1, 2)
+        leaf_row = ni[0, 0]
+        skip = ni[0, 1]
+        is_leaf = leaf_row >= 0
+
+        def do_leaf(args):
+            bt, btri = args
+            row = leaf_ref[pl.ds(leaf_row, 1), :]        # (1, 128)
+            for s in range(LEAF_W):
+                o = s * TRI_COLS
+                nx, ny, nz = row[0, o + 3], row[0, o + 4], row[0, o + 5]
+                D = row[0, o + 6]
+                dotRN = dx * nx + dy * ny + dz * nz
+                o_n = ox * nx + oy * ny + oz * nz
+                t = (D - o_n) / jnp.where(dotRN == 0.0, 1e-30, dotRN)
+                px = ox + t * dx
+                py = oy + t * dy
+                pz = oz + t * dz
+                ax, ay, az = row[0, o + 0], row[0, o + 1], row[0, o + 2]
+                v2x, v2y, v2z = px - ax, py - ay, pz - az
+                v0x, v0y, v0z = (row[0, o + 7], row[0, o + 8],
+                                 row[0, o + 9])
+                v1x, v1y, v1z = (row[0, o + 10], row[0, o + 11],
+                                 row[0, o + 12])
+                d20 = v2x * v0x + v2y * v0y + v2z * v0z
+                d21 = v2x * v1x + v2y * v1y + v2z * v1z
+                d00, d01, d11 = (row[0, o + 13], row[0, o + 14],
+                                 row[0, o + 15])
+                den = row[0, o + 16]
+                w1 = (d11 * d20 - d01 * d21) / den
+                w2 = (d00 * d21 - d01 * d20) / den
+                w0 = 1.0 - w1 - w2
+                ok = (dotRN < 0.0) & (t >= 0.0)
+                for w in (w0, w1, w2):
+                    ok &= (w >= 0.0) & (w <= 1.0)
+                upd = lane_hit & ok & (t < bt)
+                bt = jnp.where(upd, t, bt)
+                btri = jnp.where(
+                    upd, row[0, o + 17].astype(jnp.int32), btri)
+            return bt, btri
+
+        bt, btri = jax.lax.cond(any_hit & is_leaf, do_leaf,
+                                lambda x: x, (bt, btri))
+        nxt = jnp.where(any_hit, jnp.where(is_leaf, skip, i + 1), skip)
+        return nxt, bt, btri
+
+    init = (jnp.int32(root),
+            jnp.full(ox.shape, kc.INF, jnp.float32),
+            jnp.full(ox.shape, -1, jnp.int32))
+    _, bt, btri = jax.lax.while_loop(cond, body, init)
+    return bt, btri
+
+
 def _kernel(nodes_f_ref, nodes_i_ref, leaf_ref,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             t_ref, tri_ref, *, mesh_ranges):
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
-    # slab_hit computes inv = 1/d per node — identical value, hoisted
-    invx, invy, invz = 1.0 / dx, 1.0 / dy, 1.0 / dz
-
-    def walk(root, end):
-        def cond(carry):
-            return carry[0] < end
-
-        def body(carry):
-            i, bt, btri = carry
-            nf = nodes_f_ref[pl.ds(i, 1), :]                 # (1, 8)
-            t0x = (nf[0, 0] - ox) * invx
-            t1x = (nf[0, 3] - ox) * invx
-            t0y = (nf[0, 1] - oy) * invy
-            t1y = (nf[0, 4] - oy) * invy
-            t0z = (nf[0, 2] - oz) * invz
-            t1z = (nf[0, 5] - oz) * invz
-            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                         jnp.minimum(t0y, t1y)),
-                             jnp.minimum(t0z, t1z))
-            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                         jnp.maximum(t0y, t1y)),
-                             jnp.maximum(t0z, t1z))
-            lane_hit = jnp.minimum(bt, tf) > jnp.maximum(0.0, tn)
-            any_hit = jnp.any(lane_hit)
-            ni = nodes_i_ref[pl.ds(i, 1), :]                 # (1, 2)
-            leaf_row = ni[0, 0]
-            skip = ni[0, 1]
-            is_leaf = leaf_row >= 0
-
-            def do_leaf(args):
-                bt, btri = args
-                row = leaf_ref[pl.ds(leaf_row, 1), :]        # (1, 128)
-                for s in range(LEAF_W):
-                    o = s * TRI_COLS
-                    nx, ny, nz = row[0, o + 3], row[0, o + 4], row[0, o + 5]
-                    D = row[0, o + 6]
-                    dotRN = dx * nx + dy * ny + dz * nz
-                    o_n = ox * nx + oy * ny + oz * nz
-                    t = (D - o_n) / jnp.where(dotRN == 0.0, 1e-30, dotRN)
-                    px = ox + t * dx
-                    py = oy + t * dy
-                    pz = oz + t * dz
-                    ax, ay, az = row[0, o + 0], row[0, o + 1], row[0, o + 2]
-                    v2x, v2y, v2z = px - ax, py - ay, pz - az
-                    v0x, v0y, v0z = (row[0, o + 7], row[0, o + 8],
-                                     row[0, o + 9])
-                    v1x, v1y, v1z = (row[0, o + 10], row[0, o + 11],
-                                     row[0, o + 12])
-                    d20 = v2x * v0x + v2y * v0y + v2z * v0z
-                    d21 = v2x * v1x + v2y * v1y + v2z * v1z
-                    d00, d01, d11 = (row[0, o + 13], row[0, o + 14],
-                                     row[0, o + 15])
-                    den = row[0, o + 16]
-                    w1 = (d11 * d20 - d01 * d21) / den
-                    w2 = (d00 * d21 - d01 * d20) / den
-                    w0 = 1.0 - w1 - w2
-                    ok = (dotRN < 0.0) & (t >= 0.0)
-                    for w in (w0, w1, w2):
-                        ok &= (w >= 0.0) & (w <= 1.0)
-                    upd = lane_hit & ok & (t < bt)
-                    bt = jnp.where(upd, t, bt)
-                    btri = jnp.where(
-                        upd, row[0, o + 17].astype(jnp.int32), btri)
-                return bt, btri
-
-            bt, btri = jax.lax.cond(any_hit & is_leaf, do_leaf,
-                                    lambda x: x, (bt, btri))
-            nxt = jnp.where(any_hit, jnp.where(is_leaf, skip, i + 1), skip)
-            return nxt, bt, btri
-
-        init = (jnp.int32(root),
-                jnp.full(ox.shape, kc.INF, jnp.float32),
-                jnp.full(ox.shape, -1, jnp.int32))
-        _, bt, btri = jax.lax.while_loop(cond, body, init)
-        return bt, btri
 
     for m, (root, end) in enumerate(mesh_ranges):
-        bt, btri = walk(root, end)
+        bt, btri = packet_walk(nodes_f_ref, nodes_i_ref, leaf_ref,
+                               root, end, ox, oy, oz, dx, dy, dz)
         t_ref[m] = bt
         tri_ref[m] = btri
 

@@ -358,10 +358,11 @@ def _gather_hit_p(scene, o, d, a2, time, j, tri_mesh, eps,
 
 
 def _direct_lighting_p(scene, cfg: RenderConfig, p, n, time, transp, diffuse,
-                       keys, eps):
+                       keys, eps, live=None):
     """Per-light Lambert + NB_ECH soft-shadow rays (Scene.h:305-334).
     p, n, diffuse planar [N]; transp: the hit material's transparency [N];
-    returns planar color [N]."""
+    `live`: lanes whose result is consumed (dead tiles skip the kernel's
+    whole shadow loop); returns planar color [N]."""
     N = p[0].shape[0]
     L = scene.light_pos.shape[0]
     K = cfg.shadow_rays
@@ -370,14 +371,14 @@ def _direct_lighting_p(scene, cfg: RenderConfig, p, n, time, transp, diffuse,
 
     # The shadow-factor computation is discrete (Bernoulli visibility, zero
     # gradient) and is the scene-intersection hot loop — dispatch it to the
-    # fused Pallas kernel when possible (meshes still go through the BVH
-    # jnp path).
+    # fused Pallas kernel (mesh occluders walk the BVH in-kernel).
     kshadows = None
-    if L > 0 and scene.mesh_mat.shape[0] == 0:
+    if L > 0:
         from tracer.kernels import common as kcommon
         if kcommon.use_kernels(cfg):
             from tracer.kernels import shadow as kshadow
-            kshadows = kshadow.shadow_factors(scene, cfg, p, time, keys, eps)
+            kshadows = kshadow.shadow_factors(scene, cfg, p, time, keys,
+                                              eps, live=live)
 
     for i in range(L):
         lpos = tuple(scene.light_pos[i, a] for a in range(3))   # scalars
@@ -544,7 +545,7 @@ def trace(scene, cfg: RenderConfig, o, d, time, keys, with_aux=False):
         with jax.named_scope("direct_light"):
             direct = _direct_lighting_p(scene, cfg, hit["p"], hit["n"],
                                         time, hit["transp"], hit["diffuse"],
-                                        bkeys, eps)
+                                        bkeys, eps, live=live)
         acc = tuple(acc[a] + jnp.where(
             live, throughput[a] * (direct[a] + hit["emission"][a]), 0.0)
             for a in range(3))
