@@ -348,3 +348,48 @@ def test_grad_through_glass_chain():
           - float(loss_ior(jnp.float32(i0 - eps)))) / (2 * eps)
     assert np.isfinite(g_ad) and np.isfinite(fd)
     assert abs(g_ad - fd) < 5e-2 + 8e-2 * max(abs(fd), 1.0), (g_ad, fd)
+
+
+def test_custom_vjp_matches_autodiff():
+    """The record-replay custom VJP (integrator._trace_cv) must produce
+    bit-identical gradients to the plain remat'd-scan autodiff path for
+    every differentiable input class (materials, geometry, texels, rays),
+    on a lit multi-lobe textured scene."""
+    import dataclasses
+    from tracer.scenes import zoo
+    from tracer.render.camera import default_camera as dc
+
+    sb = zoo.setup_cornell_box(1.0)
+    sb.add_light((0., 0.9, 0.), radius=0.4)
+    scene = compile_scene(sb)
+    n = 256
+    cam = dc(aspect=1.0)
+    u = (jnp.arange(n) % 23) / 23.0
+    v = (jnp.arange(n) % 17) / 17.0
+    o, d = generate_rays(cam, u, v)
+    keys = trng.ray_keys(jax.random.key(3), jnp.arange(n, dtype=jnp.int32))
+    tm = jnp.linspace(0., 1., n)
+    cfg_cv = RenderConfig(max_bounces=3, shadow_rays=2, custom_vjp="on")
+    cfg_ad = dataclasses.replace(cfg_cv, custom_vjp="off")
+
+    f_cv = jax.jit(lambda s: integrator.trace(s, cfg_cv, o, d, tm, keys))
+    f_ad = jax.jit(lambda s: integrator.trace(s, cfg_ad, o, d, tm, keys))
+    np.testing.assert_array_equal(np.asarray(f_cv(scene)),
+                                  np.asarray(f_ad(scene)))
+
+    def loss(diffuse, center, tex, dd, cfgx):
+        s = dataclasses.replace(scene, mat_diffuse=diffuse,
+                                sph_center=center, tex_data=tex)
+        return jnp.sum(integrator.trace(s, cfgx, o, dd, tm, keys))
+
+    args = (scene.mat_diffuse, scene.sph_center, scene.tex_data, d)
+    g_cv = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)),
+                   static_argnums=4)(*args, cfg_cv)
+    g_ad = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)),
+                   static_argnums=4)(*args, cfg_ad)
+    for name, a, b in zip(("diffuse", "center", "tex", "raydir"),
+                          g_cv, g_ad):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7,
+                                   err_msg=f"grad {name}")
+    assert float(jnp.sum(jnp.abs(g_ad[0]))) > 0

@@ -48,8 +48,16 @@ class RenderConfig:
     # processed in chunks of this size to bound device memory.
     rays_per_batch: int = 1 << 20
 
+    # Record-replay custom VJP for trace(): the forward records per-bounce
+    # discrete selections and the backward differentiates a selected-hit
+    # replay (no candidate argmin / BVH walks / shadow search in bwd).
+    # "off" = plain remat'd scan autodiff.
+    custom_vjp: str = "on"
+
     def __post_init__(self):
         if self.compat not in ("reference", "physical"):
             raise ValueError(f"unknown compat mode: {self.compat!r}")
         if self.kernels not in ("auto", "on", "off"):
             raise ValueError(f"unknown kernels mode: {self.kernels!r}")
+        if self.custom_vjp not in ("on", "off"):
+            raise ValueError(f"unknown custom_vjp mode: {self.custom_vjp!r}")

@@ -36,7 +36,10 @@ selection argmin reduces over the leading axis.
 
 from __future__ import annotations
 
+import functools
+
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from tracer.core import rng
@@ -168,11 +171,12 @@ def _rows_i(table_i32, idx):
     return out.astype(jnp.int32)
 
 
-def _gather_hit_p(scene, o, d, a2, time, j, tri_mesh, eps,
+def _gather_hit_p(scene, o, d, a2, time, j, tid, eps,
                   kernels_on=False):
     """Recompute the selected hit differentiably and fetch shading inputs.
 
-    j: [N] winning candidate index into (spheres | squares | meshes).
+    j: [N] winning candidate index into (spheres | squares | meshes);
+    tid: [N] selected global triangle id (any value when not a mesh hit).
     Returns dict of per-ray planar fields. Discrete selection (j, tri ids)
     is non-differentiable by construction; gradients flow through the
     analytic re-evaluation of the winning primitive (SURVEY.md §7).
@@ -212,7 +216,6 @@ def _gather_hit_p(scene, o, d, a2, time, j, tri_mesh, eps,
     Nm = scene.mesh_mat.shape[0]
     if Nm > 0:
         jm = jnp.clip(j - S - Q, 0, Nm - 1)
-        tid = jnp.take_along_axis(tri_mesh, jm[None, :], axis=0)[0]
         tid = jnp.clip(tid, 0, scene.tri_a.shape[0] - 1)
         # gather corners via the SHARED vertex table (not the baked tri_a/b/c
         # copies) so vertex gradients scatter-add onto mesh_verts — one
@@ -357,29 +360,33 @@ def _gather_hit_p(scene, o, d, a2, time, j, tri_mesh, eps,
                 mtype=mri[:, 7])
 
 
-def _direct_lighting_p(scene, cfg: RenderConfig, p, n, time, transp, diffuse,
-                       keys, eps, live=None):
-    """Per-light Lambert + NB_ECH soft-shadow rays (Scene.h:305-334).
-    p, n, diffuse planar [N]; transp: the hit material's transparency [N];
-    `live`: lanes whose result is consumed (dead tiles skip the kernel's
-    whole shadow loop); returns planar color [N]."""
-    N = p[0].shape[0]
+def _shadow_factors_all(scene, cfg: RenderConfig, p, time, keys, eps,
+                        live=None):
+    """Per-light soft-shadow factors [L x [N]] — fused Pallas kernel when
+    enabled (mesh occluders walk the BVH in-kernel), jnp megabatch spec
+    otherwise. Discrete Bernoulli visibility: zero gradient by
+    construction; `live` lets the kernel skip fully-dead tiles."""
     L = scene.light_pos.shape[0]
-    K = cfg.shadow_rays
+    if L == 0:
+        return []
+    from tracer.kernels import common as kcommon
+    if kcommon.use_kernels(cfg):
+        from tracer.kernels import shadow as kshadow
+        return kshadow.shadow_factors(scene, cfg, p, time, keys, eps,
+                                      live=live)
+    return [_shadow_factor_jnp(scene, cfg, p, time, keys, eps, i)
+            for i in range(L)]
+
+
+def _direct_lighting_p(scene, cfg: RenderConfig, p, n, transp, diffuse,
+                       shadows):
+    """Per-light Lambert combined with the given soft-shadow factors
+    (Scene.h:305-334). p, n, diffuse planar [N]; transp: the hit
+    material's transparency [N]; shadows: list of [N] factors (constants
+    under grad); returns planar color [N]."""
+    L = scene.light_pos.shape[0]
     ref = cfg.compat == "reference"
     color = vp.full_like(p, 0.0)
-
-    # The shadow-factor computation is discrete (Bernoulli visibility, zero
-    # gradient) and is the scene-intersection hot loop — dispatch it to the
-    # fused Pallas kernel (mesh occluders walk the BVH in-kernel).
-    kshadows = None
-    if L > 0:
-        from tracer.kernels import common as kcommon
-        if kcommon.use_kernels(cfg):
-            from tracer.kernels import shadow as kshadow
-            kshadows = kshadow.shadow_factors(scene, cfg, p, time, keys,
-                                              eps, live=live)
-
     for i in range(L):
         lpos = tuple(scene.light_pos[i, a] for a in range(3))   # scalars
         ldir = vp.normalize(vp.sub(lpos, p))
@@ -387,11 +394,7 @@ def _direct_lighting_p(scene, cfg: RenderConfig, p, n, time, transp, diffuse,
         lcol_row = scene.light_color[0] if ref else scene.light_color[i]
         lam = jnp.maximum(0.0, dotLN) * (1.0 - transp)
         contrib = tuple(lcol_row[a] * diffuse[a] * lam for a in range(3))
-
-        if kshadows is not None:
-            shadow = kshadows[i]
-        else:
-            shadow = _shadow_factor_jnp(scene, cfg, p, time, keys, eps, i)
+        shadow = shadows[i]
         if ref:
             # quirk: multiplies everything accumulated so far (Scene.h:333)
             color = vp.scale(shadow, vp.add(color, contrib))
@@ -474,14 +477,38 @@ def _scatter_p(scene, cfg: RenderConfig, d, n, p, mtype, ior, keys):
     return o_out, d_out
 
 
-def trace(scene, cfg: RenderConfig, o, d, time, keys, with_aux=False):
-    """Trace a ray batch to radiance [N,3].
+def _init_state(o, d, time):
+    """Initial bounce-scan carry.
 
-    o,d: [N,3]; time: [N]; keys: [N] per-ray PRNG keys (pixel+sample
-    folded). Equivalent of Scene::rayTrace (Scene.h:345-350) over a batch.
-    `with_aux=True` additionally returns {"occupancy": [B]} — the fraction
-    of lanes still active at the START of each bounce (observability;
-    SURVEY.md §5 tracing plan).
+    Derived from the ray inputs (not fresh constants) so that under
+    shard_map it carries the same varying-manual-axes type as the
+    per-bounce outputs -- otherwise the scan rejects the carry
+    (sharded-typing mismatch). `d` is the one input guaranteed to vary
+    over every mesh axis (o may be a broadcast camera position, which is
+    replicated), so everything is promoted through a zero multiple of it.
+    """
+    op, dp = vp.splat(o), vp.splat(d)
+    zero = dp[0] * 0.0 + op[0] * 0.0 + time * 0.0
+    z3 = (zero, zero, zero)
+    return dict(
+        o=vp.add(op, z3), d=dp, time=time + zero,
+        throughput=tuple(zero + 1.0 for _ in range(3)),
+        active=zero == 0.0,
+        acc=z3,
+    )
+
+
+def _bounce_core(scene, cfg: RenderConfig, keys, state, b, saved=None):
+    """One bounce of the wavefront loop (Scene::rayTraceRecursive body,
+    Scene.h:258-342).
+
+    saved=None: full candidate pass + shadow sampling; additionally
+    returns rec = (j_enc [N] i32 (-1 = miss), tid [N] i32, shadows
+    [L, N] f32) -- the discrete selections of this bounce.
+
+    saved=(j_enc, tid, shadows): REPLAY -- skip the candidate argmin and
+    shadow search and re-derive only the selected hit differentiably
+    (the backward of the render: custom VJP below; SURVEY.md section 7).
     """
     from tracer.render import shading
     from tracer.kernels import common as kcommon
@@ -490,89 +517,187 @@ def trace(scene, cfg: RenderConfig, o, d, time, keys, with_aux=False):
     B = cfg.max_bounces
     ref = cfg.compat == "reference"
     kernels_on = kcommon.use_kernels(cfg)
+    L = scene.light_pos.shape[0]
 
-    op, dp = vp.splat(o), vp.splat(d)
+    o, d, time = state["o"], state["d"], state["time"]
+    active = state["active"]
+    throughput = state["throughput"]
+    acc = state["acc"]
+    n_rem = B - b  # NRemainingBounces at this depth
+    occupancy = jnp.mean(jnp.where(active, 1.0, 0.0))
 
-    # The initial carry is derived from the ray inputs (not fresh
-    # constants) so that under shard_map it carries the same
-    # varying-manual-axes type as the per-bounce outputs — otherwise the
-    # scan rejects the carry (sharded-typing mismatch). `d` is the one
-    # input guaranteed to vary over every mesh axis (o may be a broadcast
-    # camera position, which is replicated), so everything is promoted
-    # through a zero multiple of it.
-    zero = dp[0] * 0.0 + op[0] * 0.0 + time * 0.0
-    z3 = (zero, zero, zero)
-    state = dict(
-        o=vp.add(op, z3), d=dp, time=time + zero,
-        throughput=tuple(zero + 1.0 for _ in range(3)),
-        active=zero == 0.0,
-        acc=z3,
-    )
+    bkeys = rng.salted(keys, b)
+    a2 = vp.dot(d, d)
+    zero = o[0] * 0.0
 
-    def bounce(state, b):
-        o, d, time = state["o"], state["d"], state["time"]
-        active = state["active"]
-        throughput = state["throughput"]
-        acc = state["acc"]
-        n_rem = B - b  # NRemainingBounces at this depth
-        occupancy = jnp.mean(jnp.where(active, 1.0, 0.0))
-
-        bkeys = rng.salted(keys, b)
-        a2 = vp.dot(d, d)
-
+    if saved is None:
         with jax.named_scope("traverse"):
             t_all, tri_mesh = _scene_candidates_p(scene, o, d, a2, time,
                                                   eps, kernels_on)
         j = jnp.argmin(t_all, axis=0)
         tmin = jnp.min(t_all, axis=0)
         miss = tmin >= INF * 0.5
+        S = scene.sph_center.shape[0]
+        Q = scene.quad_v0.shape[0]
+        if scene.mesh_mat.shape[0] > 0:
+            jm = jnp.clip(j - S - Q, 0, scene.mesh_mat.shape[0] - 1)
+            tid = jnp.take_along_axis(tri_mesh, jm[None, :], axis=0)[0]
+        else:
+            tid = jnp.zeros_like(j)
+    else:
+        j_enc, tid, shadows_saved = saved
+        miss = j_enc < 0
+        j = jnp.maximum(j_enc, 0)
 
-        # sky on miss (Scene.h:300-303). where-select (not multiply-by-
-        # weight) so a NaN/Inf on an inactive lane can never poison acc.
-        with jax.named_scope("sky"):
-            sky = shading.skybox_color_p(
-                scene, d, jnp.broadcast_to(n_rem, zero.shape), ref,
-                packed=kernels_on)
-        acc = tuple(acc[a] + jnp.where(active & miss,
-                                       throughput[a] * sky[a], 0.0)
-                    for a in range(3))
+    # sky on miss (Scene.h:300-303). where-select (not multiply-by-
+    # weight) so a NaN/Inf on an inactive lane can never poison acc.
+    with jax.named_scope("sky"):
+        sky = shading.skybox_color_p(
+            scene, d, jnp.broadcast_to(n_rem, zero.shape), ref,
+            packed=kernels_on)
+    acc = tuple(acc[a] + jnp.where(active & miss,
+                                   throughput[a] * sky[a], 0.0)
+                for a in range(3))
 
-        with jax.named_scope("shade"):
-            hit = _gather_hit_p(scene, o, d, a2, time, j, tri_mesh, eps,
-                                kernels_on)
-        live = active & ~miss
+    with jax.named_scope("shade"):
+        hit = _gather_hit_p(scene, o, d, a2, time, j, tid, eps,
+                            kernels_on)
+    live = active & ~miss
 
-        with jax.named_scope("direct_light"):
-            direct = _direct_lighting_p(scene, cfg, hit["p"], hit["n"],
-                                        time, hit["transp"], hit["diffuse"],
-                                        bkeys, eps, live=live)
-        acc = tuple(acc[a] + jnp.where(
-            live, throughput[a] * (direct[a] + hit["emission"][a]), 0.0)
-            for a in range(3))
+    with jax.named_scope("direct_light"):
+        if saved is None:
+            shadows = _shadow_factors_all(scene, cfg, hit["p"], time,
+                                          bkeys, eps, live=live)
+        else:
+            shadows = [shadows_saved[i] for i in range(L)]
+        direct = _direct_lighting_p(scene, cfg, hit["p"], hit["n"],
+                                    hit["transp"], hit["diffuse"],
+                                    shadows)
+    acc = tuple(acc[a] + jnp.where(
+        live, throughput[a] * (direct[a] + hit["emission"][a]), 0.0)
+        for a in range(3))
 
-        with jax.named_scope("scatter"):
-            o2, d2 = _scatter_p(scene, cfg, d, hit["n"], hit["p"],
-                                hit["mtype"], hit["ior"], bkeys)
-        state = dict(
-            o=vp.where(live, o2, o),
-            d=vp.where(live, d2, d),
-            time=time,
-            throughput=vp.where(live, vp.mul(throughput, hit["diffuse"]),
-                                throughput),
-            active=live,
-            acc=acc,
-        )
+    with jax.named_scope("scatter"):
+        o2, d2 = _scatter_p(scene, cfg, d, hit["n"], hit["p"],
+                            hit["mtype"], hit["ior"], bkeys)
+    state = dict(
+        o=vp.where(live, o2, o),
+        d=vp.where(live, d2, d),
+        time=time,
+        throughput=vp.where(live, vp.mul(throughput, hit["diffuse"]),
+                            throughput),
+        active=live,
+        acc=acc,
+    )
+    if saved is None:
+        j_enc = jnp.where(miss, -1, j.astype(jnp.int32))
+        shadows_y = (jnp.stack(shadows) if L > 0
+                     else jnp.zeros((0,) + zero.shape, jnp.float32))
+        return state, occupancy, (j_enc, tid.astype(jnp.int32), shadows_y)
+    return state, occupancy, None
+
+
+def _finish(state, cfg: RenderConfig):
+    out = vp.pack(state["acc"])
+    if cfg.compat == "reference":
+        out = out / jnp.float32(cfg.max_bounces)  # Scene.h:347-349 quirk
+    return out
+
+
+def _trace_scan(scene, cfg: RenderConfig, o, d, time, keys,
+                with_aux=False):
+    """The plain autodiff path (also the with_aux/occupancy path).
+
+    Rematerialize each bounce in the backward pass: the default scan AD
+    saves dozens of [N]-sized residuals per bounce and runs an unfused
+    bwd body (~7.8 ms/bounce measured vs ~1 ms fwd -- benchmarks/
+    profile_bwd2.py); recomputing the forward body instead makes fwd+bwd
+    faster and O(carry) memory."""
+    B = cfg.max_bounces
+
+    def bounce(state, b):
+        state, occupancy, _ = _bounce_core(scene, cfg, keys, state, b)
         return state, occupancy
 
-    # Rematerialize each bounce in the backward pass: the default scan AD
-    # saves dozens of [N]-sized residuals per bounce and runs an unfused
-    # bwd body (~7.8 ms/bounce measured vs ~1 ms fwd — benchmarks/
-    # profile_bwd2.py); recomputing the 1 ms forward body instead makes
-    # fwd+bwd ~2-3x faster and O(carry) memory.
-    state, occ = jax.lax.scan(jax.checkpoint(bounce), state, jnp.arange(B))
-    out = vp.pack(state["acc"])
-    if ref:
-        out = out / jnp.float32(B)  # Scene.h:347-349 quirk
+    state, occ = jax.lax.scan(jax.checkpoint(bounce),
+                              _init_state(o, d, time), jnp.arange(B))
+    out = _finish(state, cfg)
     if with_aux:
         return out, {"occupancy": occ}
     return out
+
+
+def _trace_record(scene, cfg: RenderConfig, o, d, time, keys):
+    """Forward pass that also returns the per-bounce discrete record."""
+    B = cfg.max_bounces
+
+    def bounce(state, b):
+        state, _, rec = _bounce_core(scene, cfg, keys, state, b)
+        return state, rec
+
+    state, rec = jax.lax.scan(bounce, _init_state(o, d, time),
+                              jnp.arange(B))
+    return _finish(state, cfg), rec
+
+
+def _trace_replay(scene, cfg: RenderConfig, o, d, time, keys, rec):
+    """Differentiable replay conditioned on the recorded selections: no
+    candidate pass, no BVH walks, no shadow search -- only the selected
+    hit's analytic re-derivation and the shading chain. This is the
+    function whose VJP is the renderer's backward."""
+    B = cfg.max_bounces
+
+    def bounce(state, xs):
+        b, saved = xs
+        state, _, _ = _bounce_core(scene, cfg, keys, state, b, saved=saved)
+        return state, None
+
+    xs = (jnp.arange(B), rec)
+    state, _ = jax.lax.scan(jax.checkpoint(bounce),
+                            _init_state(o, d, time), xs)
+    return _finish(state, cfg)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _trace_cv(scene, cfg: RenderConfig, o, d, time, keys):
+    return _trace_scan(scene, cfg, o, d, time, keys)
+
+
+def _trace_cv_fwd(scene, cfg, o, d, time, keys):
+    out, rec = _trace_record(scene, cfg, o, d, time, keys)
+    return out, (scene, o, d, time, keys, rec)
+
+
+def _trace_cv_bwd(cfg, res, g):
+    scene, o, d, time, keys, rec = res
+
+    def replay(scene, o, d, time):
+        return _trace_replay(scene, cfg, o, d, time, keys, rec)
+
+    _, vjp = jax.vjp(replay, scene, o, d, time)
+    gscene, go, gd, gtime = vjp(g)
+    gkeys = np.zeros(keys.shape, jax.dtypes.float0)
+    return gscene, go, gd, gtime, gkeys
+
+
+_trace_cv.defvjp(_trace_cv_fwd, _trace_cv_bwd)
+
+
+def trace(scene, cfg: RenderConfig, o, d, time, keys, with_aux=False):
+    """Trace a ray batch to radiance [N,3].
+
+    o,d: [N,3]; time: [N]; keys: [N] per-ray PRNG keys (pixel+sample
+    folded). Equivalent of Scene::rayTrace (Scene.h:345-350) over a batch.
+    `with_aux=True` additionally returns {"occupancy": [B]} -- the
+    fraction of lanes still active at the START of each bounce
+    (observability; SURVEY.md section 5 tracing plan).
+
+    Differentiation goes through a record-replay custom VJP: the forward
+    records each bounce's discrete selections (winning primitive, mesh
+    triangle, Bernoulli shadow factors) and the backward differentiates a
+    replay that re-derives only the selected hits -- the candidate
+    argmin, BVH walks and shadow search never run in the backward.
+    Disable with cfg.custom_vjp='off' (plain remat'd scan autodiff)."""
+    if with_aux or getattr(cfg, "custom_vjp", "on") == "off":
+        return _trace_scan(scene, cfg, o, d, time, keys, with_aux)
+    return _trace_cv(scene, cfg, o, d, time, keys)
