@@ -35,12 +35,16 @@ REF = "/root/reference/img/rendus"
 
 # (our scene, reference png, render W, H, spp, bounces, min NCC)
 CASES = [
-    # thresholds: measured NCC at these configs is ~0.70 / ~0.72 / ~0.59;
+    # thresholds: measured NCC at these configs is ~0.70 / ~0.74 / ~0.59;
     # tripwires sit a safety margin below (scene-structure collapse, not
     # sampling noise, is what they catch)
     ("cornell_box", "cornell3.png", 96, 96, 4, 6, 0.60),
-    # pool.png is a 785x1424 (aspect 1.81) screenshot — match it
-    ("backrooms_pool", "pool.png", 144, 80, 4, 6, 0.70),
+    # backrooms_pool has NO scene lights: every wall is lit only by paths
+    # that stochastically reach the 16 emissive panels, so low-spp renders
+    # are binary noise and NCC tracks spp (measured 4spp 0.52, 8spp 0.63,
+    # 16spp 0.74, 32spp 0.82 vs the high-spp reference screenshot). 16 spp
+    # is the cheapest config whose structure dominates the noise.
+    ("backrooms_pool", "pool.png", 144, 80, 16, 6, 0.65),
     ("flamingo", "flamingo.png", 96, 72, 2, 4, 0.45),
 ]
 
