@@ -237,6 +237,62 @@ def cmd_grad_check(args):
         sys.exit(1)
 
 
+def cmd_train(args):
+    """Inverse-rendering demo/product loop: render a target from the true
+    scene, perturb the trainable parameters, recover them by Adam through
+    the differentiable renderer. With --ckpt-dir, an interrupted run
+    resumes bit-exactly ((params, opt state, step) checkpoints)."""
+    import dataclasses
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from tracer.core.config import RenderConfig
+    from tracer.render.camera import default_camera
+    from tracer.render.renderer import render_pixels
+    from tracer import train as T
+
+    cfg = RenderConfig(nsamples=args.spp, width=args.width,
+                       height=args.height, max_bounces=args.bounces,
+                       shadow_rays=args.shadow_rays, compat=args.compat,
+                       seed=args.seed)
+    scene = _build(args.scene, args.width, args.height, args.seed)
+    cam = default_camera(aspect=args.width / args.height)
+    trainable = [t.strip() for t in args.train.split(",") if t.strip()]
+
+    base_key = jax.random.key(cfg.seed)
+    pid = jnp.arange(args.width * args.height, dtype=jnp.int32)
+    gcfg = T.guard_config(cfg, trainable)
+    target = (render_pixels(scene, cam, gcfg, args.width, args.height, pid,
+                            args.spp, base_key) / args.spp)
+
+    # deterministic perturbation of every trainable parameter
+    true_params = T.split_params(scene, cam, trainable)
+    pk = jax.random.key(args.seed + 1)
+    pert = {}
+    for i, (k, v) in enumerate(sorted(true_params.items())):
+        scale = args.perturb * (jnp.abs(v).mean() + 0.1)
+        pert[k] = v + scale * jax.random.normal(
+            jax.random.fold_in(pk, i), v.shape, v.dtype)
+    scene0, cam0 = T.apply_params(scene, cam, pert)
+
+    def dist(params):
+        return {k: float(jnp.abs(params[k] - true_params[k]).max())
+                for k in true_params}
+
+    print(json.dumps({"event": "start", "trainable": trainable,
+                      "param_err": dist(pert)}))
+    s2, c2, hist = T.fit(scene0, cam0, cfg, target, trainable,
+                         steps=args.steps, lr=args.lr, width=args.width,
+                         height=args.height, nsamples=args.spp,
+                         base_key=base_key, ckpt_dir=args.ckpt_dir,
+                         ckpt_every=args.ckpt_every, log=print)
+    final = T.split_params(s2, c2, trainable)
+    print(json.dumps({"event": "done",
+                      "loss_first": hist[0]["loss"] if hist else None,
+                      "loss_last": hist[-1]["loss"] if hist else None,
+                      "param_err": dist(final)}))
+
+
 def cmd_scenes(args):
     from tracer.scenes import zoo
     for i, (name, _) in sorted(zoo.SCENES.items()):
@@ -287,6 +343,25 @@ def main(argv=None):
 
     g = sub.add_parser("grad-check", help="AD vs finite-difference check")
     g.set_defaults(fn=cmd_grad_check)
+
+    t = sub.add_parser(
+        "train", help="inverse rendering: recover perturbed scene params "
+        "by Adam through the renderer; checkpoints + exact resume")
+    common(t)
+    t.add_argument("--spp", type=int, default=4)
+    t.add_argument("--shadow-rays", type=int, default=4)
+    t.add_argument("--train", default="mat_diffuse",
+                   help="comma list of trainable fields "
+                        "(scene fields or cam_position)")
+    t.add_argument("--steps", type=int, default=40)
+    t.add_argument("--lr", type=float, default=1e-2)
+    t.add_argument("--perturb", type=float, default=0.05,
+                   help="relative scale of the initial perturbation")
+    t.add_argument("--ckpt-dir", default=None,
+                   help="save (params, opt state, step) here; re-running "
+                        "resumes exactly")
+    t.add_argument("--ckpt-every", type=int, default=10)
+    t.set_defaults(fn=cmd_train)
 
     s = sub.add_parser("scenes", help="list built-in scenes")
     s.set_defaults(fn=cmd_scenes)

@@ -54,6 +54,14 @@ class RenderConfig:
     # "off" = plain remat'd scan autodiff.
     custom_vjp: str = "on"
 
+    # Packed-u32 / pair-packed texture-atlas fast paths. The packed twins
+    # encode the PRISTINE u8 atlases; an optimization loop that moves
+    # tex_data/nm_data off the u8 grid must render with "off" (the exact
+    # [P,3] row-gather path) or the forward silently uses stale texels
+    # while gradients flow to the live arrays (tracer/train.py sets this
+    # automatically). "auto" = on whenever kernels are on.
+    packed_atlas: str = "auto"
+
     def __post_init__(self):
         if self.compat not in ("reference", "physical"):
             raise ValueError(f"unknown compat mode: {self.compat!r}")
@@ -61,3 +69,6 @@ class RenderConfig:
             raise ValueError(f"unknown kernels mode: {self.kernels!r}")
         if self.custom_vjp not in ("on", "off"):
             raise ValueError(f"unknown custom_vjp mode: {self.custom_vjp!r}")
+        if self.packed_atlas not in ("auto", "off"):
+            raise ValueError(
+                f"unknown packed_atlas mode: {self.packed_atlas!r}")

@@ -118,8 +118,13 @@ def train_step(scene, camera: Camera, cfg: RenderConfig, width: int,
     """
     import dataclasses
 
+    from tracer.train import guard_config
+
     trainable = ("sph_center", "sph_radius", "mat_diffuse", "tex_data",
                  "mesh_verts")
+    # tex_data is trainable: the packed-atlas twins would go stale after
+    # the first update -- render through the exact gather paths.
+    cfg = guard_config(cfg, trainable)
 
     def loss_fn(params, cam_pos):
         scene_ = dataclasses.replace(scene, **params)

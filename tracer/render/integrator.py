@@ -172,7 +172,7 @@ def _rows_i(table_i32, idx):
 
 
 def _gather_hit_p(scene, o, d, a2, time, j, tid, eps,
-                  kernels_on=False):
+                  kernels_on=False, packed_on=None):
     """Recompute the selected hit differentiably and fetch shading inputs.
 
     j: [N] winning candidate index into (spheres | squares | meshes);
@@ -180,11 +180,15 @@ def _gather_hit_p(scene, o, d, a2, time, j, tid, eps,
     Returns dict of per-ray planar fields. Discrete selection (j, tri ids)
     is non-differentiable by construction; gradients flow through the
     analytic re-evaluation of the winning primitive (SURVEY.md §7).
-    `kernels_on` routes atlas fetches through the packed-u32 fast path
-    (bit-identical values; texel grads still reach tex_data/nm_data via
-    packed_fetch's custom VJP)."""
+    `packed_on` (default: kernels_on) routes atlas fetches through the
+    packed-u32 / pair-packed fast paths (bit-identical values for PRISTINE
+    u8 atlases; texel grads still reach tex_data/nm_data via the fetches'
+    custom VJPs). Pass False when the atlases are live optimization
+    parameters off the u8 grid (cfg.packed_atlas)."""
     from tracer.render import shading
 
+    if packed_on is None:
+        packed_on = kernels_on
     N = j.shape[0]
     S = scene.sph_center.shape[0]
     Q = scene.quad_v0.shape[0]
@@ -260,9 +264,11 @@ def _gather_hit_p(scene, o, d, a2, time, j, tid, eps,
     # 2N-row gather), else the exact [P,3] row gathers.
     has_tex = scene.tex_data.shape[0] > 1
     has_nm = scene.nm_data.shape[0] > 1
-    use_pair = (kernels_on and scene.pair_mode
+    packs_ok = (scene.tex_pack.shape[0] > 1 or not has_tex) and \
+        (scene.nm_pack.shape[0] > 1 or not has_nm)
+    use_pair = (packed_on and scene.pair_mode
                 and scene.pair_pack.shape[0] > 1 and (has_tex or has_nm))
-    fused = kernels_on and has_tex and has_nm and not use_pair
+    fused = packed_on and packs_ok and has_tex and has_nm and not use_pair
     raw_nm = npresent = None
     if use_pair:
         # pair-region index: xa/ya from the primary dims; for product
@@ -306,7 +312,7 @@ def _gather_hit_p(scene, o, d, a2, time, j, tid, eps,
             img, raw_nm = shading.packed_fetch2(
                 scene.tex_data, scene.nm_data, scene.tex_pack,
                 scene.nm_pack, tex_idx, nm_idx)
-        elif kernels_on:
+        elif packed_on and scene.tex_pack.shape[0] > 1:
             img = shading.packed_fetch(scene.tex_data, scene.tex_pack,
                                        tex_idx)
         else:
@@ -332,7 +338,7 @@ def _gather_hit_p(scene, o, d, a2, time, j, tid, eps,
     if has_nm:
         if raw_nm is not None:
             raw = raw_nm
-        elif kernels_on:
+        elif packed_on and scene.nm_pack.shape[0] > 1:
             raw = shading.packed_fetch(scene.nm_data, scene.nm_pack, nm_idx)
         else:
             raw = vp.splat(scene.nm_data[nm_idx])
@@ -517,6 +523,7 @@ def _bounce_core(scene, cfg: RenderConfig, keys, state, b, saved=None):
     B = cfg.max_bounces
     ref = cfg.compat == "reference"
     kernels_on = kcommon.use_kernels(cfg)
+    packed_on = kernels_on and cfg.packed_atlas != "off"
     L = scene.light_pos.shape[0]
 
     o, d, time = state["o"], state["d"], state["time"]
@@ -554,14 +561,14 @@ def _bounce_core(scene, cfg: RenderConfig, keys, state, b, saved=None):
     with jax.named_scope("sky"):
         sky = shading.skybox_color_p(
             scene, d, jnp.broadcast_to(n_rem, zero.shape), ref,
-            packed=kernels_on)
+            packed=packed_on)
     acc = tuple(acc[a] + jnp.where(active & miss,
                                    throughput[a] * sky[a], 0.0)
                 for a in range(3))
 
     with jax.named_scope("shade"):
         hit = _gather_hit_p(scene, o, d, a2, time, j, tid, eps,
-                            kernels_on)
+                            kernels_on, packed_on)
     live = active & ~miss
 
     with jax.named_scope("direct_light"):

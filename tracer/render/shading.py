@@ -427,7 +427,7 @@ def skybox_color_p(scene, d, n_remaining, compat_reference: bool,
         y = jnp.clip((v * scene.sky_h.astype(jnp.float32)).astype(jnp.int32),
                      0, scene.sky_h - 1)
         idx = jnp.clip(y * scene.sky_w + x, 0, scene.sky_data.shape[0] - 1)
-        if packed:
+        if packed and scene.sky_pack.shape[0] > 1:
             col = packed_fetch(scene.sky_data, scene.sky_pack, idx)
         else:
             col = vp.splat(scene.sky_data[idx])  # one row gather
