@@ -76,3 +76,43 @@ def test_native_traversal_matches_numpy_traversal():
     t2, _ = prim.mesh_closest_hits(jnp.asarray(o), jnp.asarray(d), scene_cc,
                                    1e-5)
     assert np.allclose(np.asarray(t1), np.asarray(t2), rtol=1e-5, atol=1e-5)
+
+
+def test_leaf_width_8_parity():
+    """cfg.bvh_leaf_size round-trips into the build and the generalized
+    traverse/shadow kernels handle non-default widths with identical
+    radiance (VERDICT r2 next-step #9)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from tracer.core import rng as trng
+    from tracer.core.config import RenderConfig
+    from tracer.render import integrator
+    from tracer.render.camera import default_camera, generate_rays
+    from tracer.scene.device import compile_scene
+    from tracer.scenes import zoo
+
+    sb = zoo.setup_mesh()
+    s4 = compile_scene(sb, leaf_width=4)
+    s8 = compile_scene(zoo.setup_mesh(), leaf_width=8)
+    assert s8.leaf_width == 8
+    assert s8.bvh_leaf_tris.shape[0] % 8 == 0
+
+    n = 96
+    cam = default_camera(aspect=1.0)
+    u = jnp.linspace(0.2, 0.8, n)
+    v = jnp.linspace(0.3, 0.7, n)
+    o, d = generate_rays(cam, u, v)
+    keys = trng.ray_keys(jax.random.key(5), jnp.arange(n, dtype=jnp.int32))
+    tm = jnp.zeros(n)
+    cfg_on = RenderConfig(max_bounces=2, shadow_rays=2, kernels="on")
+    cfg_off = dataclasses.replace(cfg_on, kernels="off")
+
+    r4 = integrator.trace(s4, cfg_on, o, d, tm, keys)
+    r8_on = integrator.trace(s8, cfg_on, o, d, tm, keys)
+    r8_off = integrator.trace(s8, cfg_off, o, d, tm, keys)
+    np.testing.assert_allclose(np.asarray(r8_on), np.asarray(r8_off),
+                               atol=2e-5, rtol=0)
+    # leaf width is an accel knob, not a semantic one
+    np.testing.assert_allclose(np.asarray(r4), np.asarray(r8_on),
+                               atol=2e-5, rtol=0)

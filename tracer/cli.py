@@ -20,7 +20,7 @@ import sys
 import time
 
 
-def _build(name: str, width: int, height: int, seed: int):
+def _build(name: str, width: int, height: int, seed: int, cfg=None):
     from tracer.scene.device import compile_scene
     from tracer.scenes import zoo
 
@@ -34,7 +34,11 @@ def _build(name: str, width: int, height: int, seed: int):
         sb = fn(seed)
     else:
         sb = fn()
-    return compile_scene(sb)
+    kw = {}
+    if cfg is not None:  # BVH build knobs ride the config (Constants.h:15-16)
+        kw = dict(leaf_width=cfg.bvh_leaf_size,
+                  bvh_max_depth=cfg.bvh_max_depth)
+    return compile_scene(sb, **kw)
 
 
 def cmd_render(args):
@@ -45,8 +49,9 @@ def cmd_render(args):
     cfg = RenderConfig(nsamples=args.spp, width=args.width,
                        height=args.height, max_bounces=args.bounces,
                        shadow_rays=args.shadow_rays, compat=args.compat,
-                       seed=args.seed)
-    scene = _build(args.scene, args.width, args.height, args.seed)
+                       seed=args.seed, bvh_leaf_size=args.bvh_leaf,
+                       bvh_max_depth=args.bvh_depth)
+    scene = _build(args.scene, args.width, args.height, args.seed, cfg)
     cam = default_camera(aspect=args.width / args.height)
     t0 = time.perf_counter()
     render_image(scene, cam, cfg, args.out, progress=args.progress,
@@ -68,8 +73,9 @@ def cmd_probe(args):
     from tracer.render.camera import default_camera, generate_rays
 
     cfg = RenderConfig(max_bounces=args.bounces, compat=args.compat,
-                       seed=args.seed)
-    scene = _build(args.scene, args.width, args.height, args.seed)
+                       seed=args.seed, bvh_leaf_size=args.bvh_leaf,
+                       bvh_max_depth=args.bvh_depth)
+    scene = _build(args.scene, args.width, args.height, args.seed, cfg)
     cam = default_camera(aspect=args.width / args.height)
     u = jnp.asarray([args.x / args.width], jnp.float32)
     v = jnp.asarray([args.y / args.height], jnp.float32)
@@ -102,8 +108,9 @@ def cmd_benchmark(args):
 
     cfg = RenderConfig(width=args.width, height=args.height,
                        max_bounces=args.bounces, compat=args.compat,
-                       seed=args.seed)
-    scene = _build(args.scene, args.width, args.height, args.seed)
+                       seed=args.seed, bvh_leaf_size=args.bvh_leaf,
+                       bvh_max_depth=args.bvh_depth)
+    scene = _build(args.scene, args.width, args.height, args.seed, cfg)
     cam = default_camera(aspect=args.width / args.height)
     n = args.width * args.height
     pid = jnp.arange(n, dtype=jnp.int32)
@@ -254,8 +261,9 @@ def cmd_train(args):
     cfg = RenderConfig(nsamples=args.spp, width=args.width,
                        height=args.height, max_bounces=args.bounces,
                        shadow_rays=args.shadow_rays, compat=args.compat,
-                       seed=args.seed)
-    scene = _build(args.scene, args.width, args.height, args.seed)
+                       seed=args.seed, bvh_leaf_size=args.bvh_leaf,
+                       bvh_max_depth=args.bvh_depth)
+    scene = _build(args.scene, args.width, args.height, args.seed, cfg)
     cam = default_camera(aspect=args.width / args.height)
     trainable = [t.strip() for t in args.train.split(",") if t.strip()]
 
@@ -311,6 +319,10 @@ def main(argv=None):
         sp.add_argument("--compat", default="reference",
                         choices=["reference", "physical"])
         sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--bvh-leaf", type=int, default=4, dest="bvh_leaf",
+                        help="BVH leaf width (triangles per leaf)")
+        sp.add_argument("--bvh-depth", type=int, default=64,
+                        dest="bvh_depth", help="BVH max depth")
 
     r = sub.add_parser("render", help="ray trace a scene to an image")
     common(r)

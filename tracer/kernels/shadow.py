@@ -74,7 +74,7 @@ def shadow_tables(scene):
 
 
 def _kernel(light_ref, sph_ref, quad_ref, *rest, L, S, Q, K, eps,
-            reference_sampler, mesh_ranges):
+            reference_sampler, mesh_ranges, leaf_width=4):
     if mesh_ranges:
         (mesh_ref, nodes_f_ref, nodes_i_ref, leaf_ref,
          px_ref, py_ref, pz_ref, tm_ref, key_ref, lv_ref, out_ref) = rest
@@ -206,7 +206,8 @@ def _kernel(light_ref, sph_ref, quad_ref, *rest, L, S, Q, K, eps,
             for m, (root, end) in enumerate(mesh_ranges):
                 bt, _ = packet_walk(nodes_f_ref, nodes_i_ref, leaf_ref,
                                     root, end, sox, soy, soz,
-                                    sdx, sdy, sdz, tmax=t_light)
+                                    sdx, sdy, sdz, tmax=t_light,
+                                    leaf_width=leaf_width)
                 transp_m = mesh_ref[m, 0]
                 cand = (bt >= eps) & (bt < t_light)
                 u_o = kc.to_unit_i32(kc.pcg_i32(
@@ -281,7 +282,7 @@ def shadow_factors(scene, cfg, p, time, keys, eps, live=None):
     kern = functools.partial(
         _kernel, L=L, S=S, Q=Q, K=K, eps=float(eps),
         reference_sampler=(cfg.compat == "reference"),
-        mesh_ranges=mesh_ranges)
+        mesh_ranges=mesh_ranges, leaf_width=scene.leaf_width)
     grid = rows // tr
     ray_spec = pl.BlockSpec((tr, kc.LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)

@@ -39,17 +39,18 @@ from tracer.core.mathutils import dot as mdot, normalize as mnormalize
 from tracer.kernels import common as kc
 
 TRI_COLS = 32     # padded per-triangle slot in the leaf table
-LEAF_W = 4        # compile_scene leaf_width this kernel supports
 TILE = 8          # 8 x 128 = 1024 rays per packet
 
 
 def traverse_tables(scene):
     """Scene-constant tables (computed in XLA; hoisted out of the scan).
 
-    Returns (nodes_f [Bn,8], nodes_i [Bn,2], leaf [NL,128]).
+    Returns (nodes_f [Bn,8], nodes_i [Bn,2], leaf [NL, leaf_width*32]).
     leaf row layout per triangle slot s (cols s*32+c):
       0:3 a, 3:6 n, 6 D, 7:10 v0, 10:13 v1, 13 d00, 14 d01, 15 d11,
-      16 denom_safe, 17 tid (f32)."""
+      16 denom_safe, 17 tid (f32). Row width follows the scene's
+      compile-time leaf_width (cfg.bvh_leaf_size)."""
+    LEAF_W = scene.leaf_width
     a, b, c = scene.tri_a, scene.tri_b, scene.tri_c
     nn = jnp.cross(b - a, c - a)
     n = mnormalize(nn)
@@ -69,7 +70,7 @@ def traverse_tables(scene):
     pre = jnp.pad(pre, ((0, 0), (0, TRI_COLS - pre.shape[1])))
     leaf = pre[scene.bvh_leaf_tris]                             # [NL*LW, 32]
     nl = leaf.shape[0] // LEAF_W
-    leaf = leaf.reshape(nl, LEAF_W * TRI_COLS)                  # [NL, 128]
+    leaf = leaf.reshape(nl, LEAF_W * TRI_COLS)
 
     nodes_f = jnp.concatenate([
         scene.bvh_lo, scene.bvh_hi,
@@ -81,7 +82,7 @@ def traverse_tables(scene):
 
 
 def packet_walk(nodes_f_ref, nodes_i_ref, leaf_ref, root, end,
-                ox, oy, oz, dx, dy, dz, tmax=None):
+                ox, oy, oz, dx, dy, dz, tmax=None, leaf_width=4):
     """Stackless skip-link packet walk over one mesh's node range: the
     whole ray tile advances through the preorder together; leaf updates are
     gated per lane on that lane's own slab test. Returns (closest t, tri id)
@@ -122,8 +123,8 @@ def packet_walk(nodes_f_ref, nodes_i_ref, leaf_ref, root, end,
 
         def do_leaf(args):
             bt, btri = args
-            row = leaf_ref[pl.ds(leaf_row, 1), :]        # (1, 128)
-            for s in range(LEAF_W):
+            row = leaf_ref[pl.ds(leaf_row, 1), :]        # (1, leaf_width*32)
+            for s in range(leaf_width):
                 o = s * TRI_COLS
                 nx, ny, nz = row[0, o + 3], row[0, o + 4], row[0, o + 5]
                 D = row[0, o + 6]
@@ -170,13 +171,14 @@ def packet_walk(nodes_f_ref, nodes_i_ref, leaf_ref, root, end,
 
 def _kernel(nodes_f_ref, nodes_i_ref, leaf_ref,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-            t_ref, tri_ref, *, mesh_ranges):
+            t_ref, tri_ref, *, mesh_ranges, leaf_width):
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
 
     for m, (root, end) in enumerate(mesh_ranges):
         bt, btri = packet_walk(nodes_f_ref, nodes_i_ref, leaf_ref,
-                               root, end, ox, oy, oz, dx, dy, dz)
+                               root, end, ox, oy, oz, dx, dy, dz,
+                               leaf_width=leaf_width)
         t_ref[m] = bt
         tri_ref[m] = btri
 
@@ -185,7 +187,6 @@ def mesh_closest_hits(scene, o, d):
     """Closest mesh hits for planar rays o, d: returns (t [N, Nm],
     tri [N, Nm] i32) — drop-in for primitives.mesh_closest_hits (which
     takes/returns [N,...] arrays). Selection-only: non-differentiable."""
-    assert scene.leaf_width == LEAF_W, "kernel supports leaf_width=4"
     N = o[0].shape[0]
     Nm = len(scene.mesh_root)
     nodes_f, nodes_i, leaf = traverse_tables(scene)
@@ -199,7 +200,8 @@ def mesh_closest_hits(scene, o, d):
 
     kern = functools.partial(
         _kernel,
-        mesh_ranges=tuple(zip(scene.mesh_root, scene.mesh_end)))
+        mesh_ranges=tuple(zip(scene.mesh_root, scene.mesh_end)),
+        leaf_width=scene.leaf_width)
     ray_spec = pl.BlockSpec((TILE, kc.LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((Nm, TILE, kc.LANES), lambda i: (0, i, 0),

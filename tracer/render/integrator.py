@@ -66,7 +66,7 @@ def _scene_candidates_p(scene, o, d, a2, time, eps, kernels_on=False):
                                  scene.quad_valid, eps)
     Nm = scene.mesh_mat.shape[0]
     if Nm > 0:
-        if kernels_on and scene.leaf_width == 4:
+        if kernels_on:
             from tracer.kernels import traverse as ktraverse
             t_mesh_raw, tri_mesh = ktraverse.mesh_closest_hits(scene, o, d)
         else:
