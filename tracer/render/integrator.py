@@ -172,7 +172,7 @@ def _rows_i(table_i32, idx):
 
 
 def _gather_hit_p(scene, o, d, a2, time, j, tid, eps,
-                  kernels_on=False, packed_on=None):
+                  kernels_on=False, packed_on=None, k1=None):
     """Recompute the selected hit differentiably and fetch shading inputs.
 
     j: [N] winning candidate index into (spheres | squares | meshes);
@@ -184,7 +184,10 @@ def _gather_hit_p(scene, o, d, a2, time, j, tid, eps,
     packed-u32 / pair-packed fast paths (bit-identical values for PRISTINE
     u8 atlases; texel grads still reach tex_data/nm_data via the fetches'
     custom VJPs). Pass False when the atlases are live optimization
-    parameters off the u8 grid (cfg.packed_atlas)."""
+    parameters off the u8 grid (cfg.packed_atlas). `k1`: the fused
+    first-hit kernel's detail record (kernels/intersect.py) — when given,
+    the sphere/quad one-hot refetch + re-derivation are skipped (forward
+    fast path; the differentiable replay passes k1=None)."""
     from tracer.render import shading
 
     if packed_on is None:
@@ -198,23 +201,37 @@ def _gather_hit_p(scene, o, d, a2, time, j, tid, eps,
 
     sph_pack, quad_pack, matf, mati = _geo_packs(scene)
 
-    # --- sphere branch ---------------------------------------------------
-    js = jnp.clip(j, 0, S - 1)
-    srow = _rows(sph_pack, js)                                   # [N, 8]
-    mid_s = srow[:, 7].astype(jnp.int32)
-    _, p_s, n_s, theta, phi = prim.sphere_hit_detail_planar(
-        o, d, a2, time, (srow[:, 0], srow[:, 1], srow[:, 2]),
-        srow[:, 3], (srow[:, 4], srow[:, 5], srow[:, 6]), eps)
+    if k1 is not None:
+        p_sq = k1["p"]
+        n_sq = k1["n"]
+        u_q, v_q = k1["u"], k1["v"]
+        tan_q, bitan_q = k1["tan"], k1["bitan"]
+        mid_sq = k1["mid"]
+        theta = jnp.arccos(jnp.clip(-n_sq[1], -1.0 + 1e-7, 1.0 - 1e-7))
+        phi = jnp.arctan2(-n_sq[2], n_sq[0] + 1e-20) + jnp.pi
+    else:
+        # --- sphere branch -----------------------------------------------
+        js = jnp.clip(j, 0, S - 1)
+        srow = _rows(sph_pack, js)                               # [N, 8]
+        mid_s = srow[:, 7].astype(jnp.int32)
+        _, p_s, n_s, theta, phi = prim.sphere_hit_detail_planar(
+            o, d, a2, time, (srow[:, 0], srow[:, 1], srow[:, 2]),
+            srow[:, 3], (srow[:, 4], srow[:, 5], srow[:, 6]), eps)
 
-    # --- quad branch -----------------------------------------------------
-    jq = jnp.clip(j - S, 0, Q - 1)
-    qrow = _rows(quad_pack, jq)                                  # [N, 19]
-    mid_q = qrow[:, 18].astype(jnp.int32)
-    _, p_q, n_q, u_q, v_q = prim.quad_hit_detail_planar(
-        o, d, time, (qrow[:, 0], qrow[:, 1], qrow[:, 2]),
-        (qrow[:, 3], qrow[:, 4], qrow[:, 5]),
-        (qrow[:, 6], qrow[:, 7], qrow[:, 8]),
-        (qrow[:, 9], qrow[:, 10], qrow[:, 11]))
+        # --- quad branch -------------------------------------------------
+        jq = jnp.clip(j - S, 0, Q - 1)
+        qrow = _rows(quad_pack, jq)                              # [N, 19]
+        mid_q = qrow[:, 18].astype(jnp.int32)
+        _, p_q, n_q, u_q, v_q = prim.quad_hit_detail_planar(
+            o, d, time, (qrow[:, 0], qrow[:, 1], qrow[:, 2]),
+            (qrow[:, 3], qrow[:, 4], qrow[:, 5]),
+            (qrow[:, 6], qrow[:, 7], qrow[:, 8]),
+            (qrow[:, 9], qrow[:, 10], qrow[:, 11]))
+        p_sq = vp.where(is_quad, p_q, p_s)
+        n_sq = vp.where(is_quad, n_q, n_s)
+        mid_sq = jnp.where(is_sph, mid_s, mid_q)
+        tan_q = (qrow[:, 12], qrow[:, 13], qrow[:, 14])
+        bitan_q = (qrow[:, 15], qrow[:, 16], qrow[:, 17])
 
     # --- mesh branch -----------------------------------------------------
     Nm = scene.mesh_mat.shape[0]
@@ -242,9 +259,9 @@ def _gather_hit_p(scene, o, d, a2, time, j, tid, eps,
         has_col = jnp.zeros(N, jnp.float32)
 
     # --- select ----------------------------------------------------------
-    mid = jnp.where(is_sph, mid_s, jnp.where(is_quad, mid_q, mid_m))
-    p = vp.where(is_sph, p_s, vp.where(is_quad, p_q, p_m))
-    n = vp.where(is_sph, n_s, vp.where(is_quad, n_q, n_m))
+    mid = jnp.where(is_mesh, mid_m, mid_sq)
+    p = vp.where(is_mesh, p_m, p_sq)
+    n = vp.where(is_mesh, n_m, n_sq)
 
     # texture coordinates: spheres use (phi/2pi, theta/pi) for both texture
     # and emission (Scene.h:275-277); squares use (u, v).
@@ -343,8 +360,7 @@ def _gather_hit_p(scene, o, d, a2, time, j, tid, eps,
         else:
             raw = vp.splat(scene.nm_data[nm_idx])
         nm = tuple(2.0 * c - 1.0 for c in raw)
-        tan = (qrow[:, 12], qrow[:, 13], qrow[:, 14])
-        bitan = (qrow[:, 15], qrow[:, 16], qrow[:, 17])
+        tan, bitan = tan_q, bitan_q
         n2 = vp.normalize(tuple(
             nm[0] * tan[a] + nm[1] * bitan[a] + nm[2] * n[a]
             for a in range(3)))
@@ -537,20 +553,45 @@ def _bounce_core(scene, cfg: RenderConfig, keys, state, b, saved=None):
     a2 = vp.dot(d, d)
     zero = o[0] * 0.0
 
+    k1 = None
     if saved is None:
-        with jax.named_scope("traverse"):
-            t_all, tri_mesh = _scene_candidates_p(scene, o, d, a2, time,
-                                                  eps, kernels_on)
-        j = jnp.argmin(t_all, axis=0)
-        tmin = jnp.min(t_all, axis=0)
-        miss = tmin >= INF * 0.5
-        S = scene.sph_center.shape[0]
-        Q = scene.quad_v0.shape[0]
-        if scene.mesh_mat.shape[0] > 0:
-            jm = jnp.clip(j - S - Q, 0, scene.mesh_mat.shape[0] - 1)
-            tid = jnp.take_along_axis(tri_mesh, jm[None, :], axis=0)[0]
+        if kernels_on:
+            # fused path: per-mesh packet traversal then the fused
+            # first-hit kernel (candidates + argmin + winner detail in
+            # VMEM — kernels/intersect.py)
+            from tracer.kernels import intersect as kintersect
+            Nm = scene.mesh_mat.shape[0]
+            with jax.named_scope("traverse"):
+                if Nm > 0:
+                    from tracer.kernels import traverse as ktraverse
+                    t_raw, tri_raw = ktraverse.mesh_closest_hits(scene,
+                                                                 o, d)
+                    t_raw, tri_raw = t_raw.T, tri_raw.T        # [Nm, N]
+                else:
+                    N0 = o[0].shape[0]
+                    t_raw = jnp.full((0, N0), INF)
+                    tri_raw = jnp.full((0, N0), -1, jnp.int32)
+                k1 = kintersect.first_hits(scene, o, d, time, t_raw,
+                                           tri_raw, live=active, eps=eps)
+            j_enc = k1["j"]
+            miss = j_enc < 0
+            j = jnp.maximum(j_enc, 0)
+            tid = k1["tid"]
         else:
-            tid = jnp.zeros_like(j)
+            with jax.named_scope("traverse"):
+                t_all, tri_mesh = _scene_candidates_p(scene, o, d, a2,
+                                                      time, eps,
+                                                      kernels_on)
+            j = jnp.argmin(t_all, axis=0)
+            tmin = jnp.min(t_all, axis=0)
+            miss = tmin >= INF * 0.5
+            S = scene.sph_center.shape[0]
+            Q = scene.quad_v0.shape[0]
+            if scene.mesh_mat.shape[0] > 0:
+                jm = jnp.clip(j - S - Q, 0, scene.mesh_mat.shape[0] - 1)
+                tid = jnp.take_along_axis(tri_mesh, jm[None, :], axis=0)[0]
+            else:
+                tid = jnp.zeros_like(j)
     else:
         j_enc, tid, shadows_saved = saved
         miss = j_enc < 0
@@ -568,7 +609,7 @@ def _bounce_core(scene, cfg: RenderConfig, keys, state, b, saved=None):
 
     with jax.named_scope("shade"):
         hit = _gather_hit_p(scene, o, d, a2, time, j, tid, eps,
-                            kernels_on, packed_on)
+                            kernels_on, packed_on, k1=k1)
     live = active & ~miss
 
     with jax.named_scope("direct_light"):
