@@ -470,10 +470,15 @@ def _scatter_p(scene, cfg: RenderConfig, d, n, p, mtype, ior, keys):
 
     # glass
     going_out = vp.dot(d, n) > 0.0
+    # Non-glass materials carry ior=0; 1/0 = inf on their (discarded)
+    # glass-lobe lanes and d(1/ior) = -inf leaks NaN through the zero
+    # cotangent of the lobe select in the backward. Safe denominator:
+    # glass iors are O(1), so this never changes a glass lane.
+    ior_inv = 1.0 / jnp.where(ior > 1e-12, ior, 1.0)
     if ref:
-        ri = jnp.where(going_out, 1.0 / ior, ior)     # inverted-eta quirk
+        ri = jnp.where(going_out, ior_inv, ior)       # inverted-eta quirk
     else:
-        ri = jnp.where(going_out, ior, 1.0 / ior)
+        ri = jnp.where(going_out, ior, ior_inv)
     cos_t = jnp.minimum(-vp.dot(d, n), 1.0)
     sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
     if ref:
