@@ -172,7 +172,8 @@ def _rows_i(table_i32, idx):
 
 
 def _gather_hit_p(scene, o, d, a2, time, j, tid, eps,
-                  kernels_on=False, packed_on=None, k1=None):
+                  kernels_on=False, packed_on=None, k1=None,
+                  fetch_tex=True):
     """Recompute the selected hit differentiably and fetch shading inputs.
 
     j: [N] winning candidate index into (spheres | squares | meshes);
@@ -187,7 +188,13 @@ def _gather_hit_p(scene, o, d, a2, time, j, tid, eps,
     parameters off the u8 grid (cfg.packed_atlas). `k1`: the fused
     first-hit kernel's detail record (kernels/intersect.py) — when given,
     the sphere/quad one-hot refetch + re-derivation are skipped (forward
-    fast path; the differentiable replay passes k1=None)."""
+    fast path; the differentiable replay passes k1=None). `fetch_tex=False`
+    (static) skips the texture AND normal-map atlas gathers entirely;
+    callers may only pass it when `diffuse` and the mapped normal are dead
+    downstream (last bounce, no lights) and no emissive material is
+    TEX_IMAGE (scene.emissive_tex_image False): emission then provably
+    never selects the fetched texel, so the live outputs are
+    bit-identical."""
     from tracer.render import shading
 
     if packed_on is None:
@@ -279,8 +286,8 @@ def _gather_hit_p(scene, o, d, a2, time, j, tid, eps,
     # paths by preference: pair_pack (ONE gather for texture AND normal
     # map — scene/device.py pair_mode), else packed_fetch2 (one fused
     # 2N-row gather), else the exact [P,3] row gathers.
-    has_tex = scene.tex_data.shape[0] > 1
-    has_nm = scene.nm_data.shape[0] > 1
+    has_tex = fetch_tex and scene.tex_data.shape[0] > 1
+    has_nm = fetch_tex and scene.nm_data.shape[0] > 1
     packs_ok = (scene.tex_pack.shape[0] > 1 or not has_tex) and \
         (scene.nm_pack.shape[0] > 1 or not has_nm)
     use_pair = (packed_on and scene.pair_mode
@@ -525,7 +532,8 @@ def _init_state(o, d, time):
     )
 
 
-def _bounce_core(scene, cfg: RenderConfig, keys, state, b, saved=None):
+def _bounce_core(scene, cfg: RenderConfig, keys, state, b, saved=None,
+                 last=False):
     """One bounce of the wavefront loop (Scene::rayTraceRecursive body,
     Scene.h:258-342).
 
@@ -536,6 +544,12 @@ def _bounce_core(scene, cfg: RenderConfig, keys, state, b, saved=None):
     saved=(j_enc, tid, shadows): REPLAY -- skip the candidate argmin and
     shadow search and re-derive only the selected hit differentiably
     (the backward of the render: custom VJP below; SURVEY.md section 7).
+
+    last=True (static): this is the final bounce, unrolled OUT of the
+    lax.scan by the _trace_* drivers. Only `acc` of the returned state is
+    live, so XLA dead-code-eliminates the scatter and state updates; with
+    no lights and no emissive TEX_IMAGE material the texture/normal-map
+    gathers are statically skipped too (see _gather_hit_p fetch_tex).
     """
     from tracer.render import shading
     from tracer.kernels import common as kcommon
@@ -612,9 +626,11 @@ def _bounce_core(scene, cfg: RenderConfig, keys, state, b, saved=None):
                                    throughput[a] * sky[a], 0.0)
                 for a in range(3))
 
+    fetch_tex = not (last and L == 0 and not scene.emissive_tex_image)
     with jax.named_scope("shade"):
         hit = _gather_hit_p(scene, o, d, a2, time, j, tid, eps,
-                            kernels_on, packed_on, k1=k1)
+                            kernels_on, packed_on, k1=k1,
+                            fetch_tex=fetch_tex)
     live = active & ~miss
 
     with jax.named_scope("direct_light"):
@@ -665,7 +681,11 @@ def _trace_scan(scene, cfg: RenderConfig, o, d, time, keys,
     saves dozens of [N]-sized residuals per bounce and runs an unfused
     bwd body (~7.8 ms/bounce measured vs ~1 ms fwd -- benchmarks/
     profile_bwd2.py); recomputing the forward body instead makes fwd+bwd
-    faster and O(carry) memory."""
+    faster and O(carry) memory.
+
+    The final bounce is unrolled out of the scan: its scatter/state
+    updates (and, when statically dead, its texture gathers) are then
+    eliminated -- a scan body cannot specialize its last iteration."""
     B = cfg.max_bounces
 
     def bounce(state, b):
@@ -673,15 +693,19 @@ def _trace_scan(scene, cfg: RenderConfig, o, d, time, keys,
         return state, occupancy
 
     state, occ = jax.lax.scan(jax.checkpoint(bounce),
-                              _init_state(o, d, time), jnp.arange(B))
+                              _init_state(o, d, time), jnp.arange(B - 1))
+    state, occ_last, _ = _bounce_core(scene, cfg, keys, state,
+                                      jnp.int32(B - 1), last=True)
     out = _finish(state, cfg)
     if with_aux:
+        occ = jnp.concatenate([occ, occ_last[None]])
         return out, {"occupancy": occ}
     return out
 
 
 def _trace_record(scene, cfg: RenderConfig, o, d, time, keys):
-    """Forward pass that also returns the per-bounce discrete record."""
+    """Forward pass that also returns the per-bounce discrete record:
+    (scan record for bounces 0..B-2, last-bounce record)."""
     B = cfg.max_bounces
 
     def bounce(state, b):
@@ -689,25 +713,34 @@ def _trace_record(scene, cfg: RenderConfig, o, d, time, keys):
         return state, rec
 
     state, rec = jax.lax.scan(bounce, _init_state(o, d, time),
-                              jnp.arange(B))
-    return _finish(state, cfg), rec
+                              jnp.arange(B - 1))
+    state, _, rec_last = _bounce_core(scene, cfg, keys, state,
+                                      jnp.int32(B - 1), last=True)
+    return _finish(state, cfg), (rec, rec_last)
 
 
 def _trace_replay(scene, cfg: RenderConfig, o, d, time, keys, rec):
     """Differentiable replay conditioned on the recorded selections: no
     candidate pass, no BVH walks, no shadow search -- only the selected
     hit's analytic re-derivation and the shading chain. This is the
-    function whose VJP is the renderer's backward."""
+    function whose VJP is the renderer's backward.
+
+    No remat here (unlike _trace_scan): the replay body is already the
+    cheap residual-sized slice of the bounce, so saving its per-bounce
+    residuals (~40 [N] arrays x B bounces) costs a few hundred MB of HBM
+    and removes a full forward re-run from every backward."""
     B = cfg.max_bounces
+    rec_scan, rec_last = rec
 
     def bounce(state, xs):
         b, saved = xs
         state, _, _ = _bounce_core(scene, cfg, keys, state, b, saved=saved)
         return state, None
 
-    xs = (jnp.arange(B), rec)
-    state, _ = jax.lax.scan(jax.checkpoint(bounce),
-                            _init_state(o, d, time), xs)
+    xs = (jnp.arange(B - 1), rec_scan)
+    state, _ = jax.lax.scan(bounce, _init_state(o, d, time), xs)
+    state, _, _ = _bounce_core(scene, cfg, keys, state, jnp.int32(B - 1),
+                               saved=rec_last, last=True)
     return _finish(state, cfg)
 
 

@@ -147,6 +147,10 @@ class DeviceScene:
     leaf_width: int = 4
     has_sky_image: bool = False
     pair_mode: bool = False           # pair_pack covers every needed fetch
+    emissive_tex_image: bool = True   # some emissive material is TEX_IMAGE
+    #   (when False and a bounce's diffuse is dead — last bounce, no
+    #   lights — the integrator statically skips the texture gather:
+    #   emission then provably never selects the fetched texel)
 
     # --- static helpers --------------------------------------------------
     @property
@@ -171,7 +175,8 @@ class DeviceScene:
 
 
 _fields = [f.name for f in dataclasses.fields(DeviceScene)]
-_meta = ["mesh_root", "mesh_end", "leaf_width", "has_sky_image", "pair_mode"]
+_meta = ["mesh_root", "mesh_end", "leaf_width", "has_sky_image", "pair_mode",
+         "emissive_tex_image"]
 jax.tree_util.register_dataclass(
     DeviceScene,
     data_fields=[f for f in _fields if f not in _meta],
@@ -667,4 +672,6 @@ def compile_scene(sb: B.SceneBuilder, leaf_width: int = 4,
         leaf_width=leaf_width,
         has_sky_image=sb.skybox is not None,
         pair_mode=pair_mode,
+        emissive_tex_image=bool(
+            np.any((mat_emissive > 0) & (mat_textype == 2))),
     )
