@@ -352,9 +352,12 @@ def test_grad_through_glass_chain():
 
 def test_custom_vjp_matches_autodiff():
     """The record-replay custom VJP (integrator._trace_cv) must produce
-    bit-identical gradients to the plain remat'd-scan autodiff path for
-    every differentiable input class (materials, geometry, texels, rays),
-    on a lit multi-lobe textured scene."""
+    the same gradients as the plain remat'd-scan autodiff path for every
+    differentiable input class (materials, geometry, texels, rays), on a
+    lit multi-lobe textured scene. The FORWARD is bit-identical; the
+    backward is compared at fp32-reassociation tolerance (the replay
+    saves residuals instead of rematerializing, so XLA schedules its
+    backward sums in a different order)."""
     import dataclasses
     from tracer.scenes import zoo
     from tracer.render.camera import default_camera as dc
@@ -390,6 +393,6 @@ def test_custom_vjp_matches_autodiff():
     for name, a, b in zip(("diffuse", "center", "tex", "raydir"),
                           g_cv, g_ad):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-6, atol=1e-7,
+                                   rtol=2e-5, atol=1e-7,
                                    err_msg=f"grad {name}")
     assert float(jnp.sum(jnp.abs(g_ad[0]))) > 0

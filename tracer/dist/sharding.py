@@ -32,7 +32,7 @@ import jax
 import numpy as np
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from tracer.core import rng
 from tracer.core.config import RenderConfig
@@ -91,8 +91,14 @@ def render_pixels_sharded(scene, camera: Camera, cfg: RenderConfig,
     n_sp = mesh.shape["sp"]
     sample_ids = jnp.arange(nsamples, dtype=jnp.int32)
 
+    # check_vma=False: the replay backward accumulates the texel-atlas
+    # cotangent across the bounce scan; jax's varying-manual-axes checker
+    # types the zero init as replicated but the per-bounce scatter-add as
+    # varying and rejects the carry (jax-ml/jax bug, the error message
+    # itself prescribes this workaround). Semantics are unaffected: every
+    # cross-device reduction here is an explicit psum.
     @functools.partial(
-        shard_map, mesh=mesh,
+        shard_map, mesh=mesh, check_vma=False,
         in_specs=(P(), P(), P("dp"), P("sp")),
         out_specs=P("dp"))
     def fwd(scene_, camera_, pids, sids):

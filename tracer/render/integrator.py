@@ -173,7 +173,7 @@ def _rows_i(table_i32, idx):
 
 def _gather_hit_p(scene, o, d, a2, time, j, tid, eps,
                   kernels_on=False, packed_on=None, k1=None,
-                  fetch_tex=True):
+                  fetch_tex=True, tex_saved=None):
     """Recompute the selected hit differentiably and fetch shading inputs.
 
     j: [N] winning candidate index into (spheres | squares | meshes);
@@ -294,7 +294,25 @@ def _gather_hit_p(scene, o, d, a2, time, j, tid, eps,
                 and scene.pair_pack.shape[0] > 1 and (has_tex or has_nm))
     fused = packed_on and packs_ok and has_tex and has_nm and not use_pair
     raw_nm = npresent = None
-    if use_pair:
+    rec_idx_t = rec_idx_n = None
+    if tex_saved is not None:
+        # REPLAY: the record pass already fetched these texels; re-enter
+        # them as constants whose custom VJP scatter-adds the cotangent
+        # onto the atlases at the recorded indices (shading.saved_texel).
+        # The atlas gather — the measured per-bounce hot spot — never
+        # runs in the differentiable replay, and neither do the texel
+        # index staircases (idx has zero gradient through trunc anyway).
+        simg, srnm, sidx_t, sidx_n, spres, snpres = tex_saved
+        if has_tex or has_nm:
+            img = shading.saved_texel(scene.tex_data, sidx_t, simg)
+            present = spres
+        else:
+            img = vp.full_like(o, 0.0)
+            present = jnp.zeros(N, bool)
+        if has_nm:
+            raw_nm = shading.saved_texel(scene.nm_data, sidx_n, srnm)
+            npresent = snpres
+    elif use_pair:
         # pair-region index: xa/ya from the primary dims; for product
         # regions (mismatched tex/nm dims) add the staircase of the second
         # image — the sum uniquely identifies the texel pair
@@ -324,14 +342,17 @@ def _gather_hit_p(scene, o, d, a2, time, j, tid, eps,
             idx_t, idx_n, ptex, pnm)
         present = ptex
         npresent = pnm
+        rec_idx_t, rec_idx_n = idx_t, idx_n
     elif has_nm:
         nm_idx, npresent = shading._texel_index(
             scene.nm_data.shape[0], mri[:, 4], mri[:, 5], mri[:, 6],
             u_tex, v_tex, sx, sy)
-    if not use_pair and has_tex:
+        rec_idx_n = nm_idx
+    if tex_saved is None and not use_pair and has_tex:
         tex_idx, present = shading._texel_index(
             scene.tex_data.shape[0], mri[:, 1], mri[:, 2], mri[:, 3],
             u_tex, v_tex, sx, sy)
+        rec_idx_t = tex_idx
         if fused:
             img, raw_nm = shading.packed_fetch2(
                 scene.tex_data, scene.nm_data, scene.tex_pack,
@@ -341,7 +362,7 @@ def _gather_hit_p(scene, o, d, a2, time, j, tid, eps,
                                        tex_idx)
         else:
             img = vp.splat(scene.tex_data[tex_idx])
-    elif not use_pair:
+    elif tex_saved is None and not use_pair:
         img = vp.full_like(o, 0.0)
         present = jnp.zeros(N, bool)
     from tracer.core.mathutils import trunc_mod2
@@ -359,6 +380,7 @@ def _gather_hit_p(scene, o, d, a2, time, j, tid, eps,
                        textured)
 
     # normal mapping — squares only (Scene.h:284, sphere call commented out)
+    raw_for_rec = None
     if has_nm:
         if raw_nm is not None:
             raw = raw_nm
@@ -366,6 +388,7 @@ def _gather_hit_p(scene, o, d, a2, time, j, tid, eps,
             raw = shading.packed_fetch(scene.nm_data, scene.nm_pack, nm_idx)
         else:
             raw = vp.splat(scene.nm_data[nm_idx])
+        raw_for_rec = raw
         nm = tuple(2.0 * c - 1.0 for c in raw)
         tan, bitan = tan_q, bitan_q
         n2 = vp.normalize(tuple(
@@ -384,9 +407,22 @@ def _gather_hit_p(scene, o, d, a2, time, j, tid, eps,
     emis = vp.scale(k_emit, ecol)
     emis = vp.where(is_mesh, vp.full_like(emis, 0.0), emis)
 
+    # per-bounce texel record for the replay backward (see tex_saved)
+    if tex_saved is not None:
+        tex_rec = tex_saved
+    else:
+        zi = jnp.zeros(N, jnp.int32)
+        zb = jnp.zeros(N, bool)
+        z3 = vp.full_like(o, 0.0)
+        tex_rec = (img, raw_for_rec if raw_for_rec is not None else z3,
+                   rec_idx_t if rec_idx_t is not None else zi,
+                   rec_idx_n if rec_idx_n is not None else zi,
+                   present,
+                   npresent if npresent is not None else zb)
+
     return dict(mid=mid, p=p, n=n, diffuse=diffuse, emission=emis,
                 u=u_tex, v=v_tex, transp=mrf[:, 16], ior=mrf[:, 17],
-                mtype=mri[:, 7])
+                mtype=mri[:, 7], tex_rec=tex_rec)
 
 
 def _shadow_factors_all(scene, cfg: RenderConfig, p, time, keys, eps,
@@ -539,11 +575,14 @@ def _bounce_core(scene, cfg: RenderConfig, keys, state, b, saved=None,
 
     saved=None: full candidate pass + shadow sampling; additionally
     returns rec = (j_enc [N] i32 (-1 = miss), tid [N] i32, shadows
-    [L, N] f32) -- the discrete selections of this bounce.
+    [L, N] f32, tex_rec) -- the discrete selections AND fetched texels
+    of this bounce (tex_rec: see _gather_hit_p).
 
-    saved=(j_enc, tid, shadows): REPLAY -- skip the candidate argmin and
-    shadow search and re-derive only the selected hit differentiably
-    (the backward of the render: custom VJP below; SURVEY.md section 7).
+    saved=(j_enc, tid, shadows, tex_rec): REPLAY -- skip the candidate
+    argmin, the shadow search AND the atlas gathers; re-derive only the
+    selected hit differentiably, with recorded texels re-entering through
+    a scatter-add custom VJP (the backward of the render: custom VJP
+    below; SURVEY.md section 7).
 
     last=True (static): this is the final bounce, unrolled OUT of the
     lax.scan by the _trace_* drivers. Only `acc` of the returned state is
@@ -612,7 +651,7 @@ def _bounce_core(scene, cfg: RenderConfig, keys, state, b, saved=None,
             else:
                 tid = jnp.zeros_like(j)
     else:
-        j_enc, tid, shadows_saved = saved
+        j_enc, tid, shadows_saved, tex_saved = saved
         miss = j_enc < 0
         j = jnp.maximum(j_enc, 0)
 
@@ -630,7 +669,8 @@ def _bounce_core(scene, cfg: RenderConfig, keys, state, b, saved=None,
     with jax.named_scope("shade"):
         hit = _gather_hit_p(scene, o, d, a2, time, j, tid, eps,
                             kernels_on, packed_on, k1=k1,
-                            fetch_tex=fetch_tex)
+                            fetch_tex=fetch_tex,
+                            tex_saved=None if saved is None else tex_saved)
     live = active & ~miss
 
     with jax.named_scope("direct_light"):
@@ -662,7 +702,8 @@ def _bounce_core(scene, cfg: RenderConfig, keys, state, b, saved=None,
         j_enc = jnp.where(miss, -1, j.astype(jnp.int32))
         shadows_y = (jnp.stack(shadows) if L > 0
                      else jnp.zeros((0,) + zero.shape, jnp.float32))
-        return state, occupancy, (j_enc, tid.astype(jnp.int32), shadows_y)
+        return state, occupancy, (j_enc, tid.astype(jnp.int32), shadows_y,
+                                  hit["tex_rec"])
     return state, occupancy, None
 
 
