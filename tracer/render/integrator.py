@@ -36,6 +36,7 @@ selection argmin reduces over the leading axis.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -304,13 +305,13 @@ def _gather_hit_p(scene, o, d, a2, time, j, tid, eps,
         # index staircases (idx has zero gradient through trunc anyway).
         simg, srnm, sidx_t, sidx_n, spres, snpres = tex_saved
         if has_tex or has_nm:
-            img = shading.saved_texel(scene.tex_data, sidx_t, simg)
+            img = simg
             present = spres
         else:
             img = vp.full_like(o, 0.0)
             present = jnp.zeros(N, bool)
         if has_nm:
-            raw_nm = shading.saved_texel(scene.nm_data, sidx_n, srnm)
+            raw_nm = srnm
             npresent = snpres
     elif use_pair:
         # pair-region index: xa/ya from the primary dims; for product
@@ -766,10 +767,12 @@ def _trace_replay(scene, cfg: RenderConfig, o, d, time, keys, rec):
     hit's analytic re-derivation and the shading chain. This is the
     function whose VJP is the renderer's backward.
 
-    No remat here (unlike _trace_scan): the replay body is already the
-    cheap residual-sized slice of the bounce, so saving its per-bounce
-    residuals (~40 [N] arrays x B bounces) costs a few hundred MB of HBM
-    and removes a full forward re-run from every backward."""
+    Remat per bounce (like _trace_scan): measured on-chip, the plain
+    scan-AD backward of even this residual-sized body lowers to an
+    unfused op soup several times the forward's cost, while re-running
+    the (gather-free) replay body forward inside the backward keeps the
+    bwd fused — remat is the faster option here, not just the smaller
+    one."""
     B = cfg.max_bounces
     rec_scan, rec_last = rec
 
@@ -779,7 +782,8 @@ def _trace_replay(scene, cfg: RenderConfig, o, d, time, keys, rec):
         return state, None
 
     xs = (jnp.arange(B - 1), rec_scan)
-    state, _ = jax.lax.scan(bounce, _init_state(o, d, time), xs)
+    state, _ = jax.lax.scan(jax.checkpoint(bounce),
+                            _init_state(o, d, time), xs)
     state, _, _ = _bounce_core(scene, cfg, keys, state, jnp.int32(B - 1),
                                saved=rec_last, last=True)
     return _finish(state, cfg)
@@ -795,14 +799,58 @@ def _trace_cv_fwd(scene, cfg, o, d, time, keys):
     return out, (scene, o, d, time, keys, rec)
 
 
+def _rec_split_tex(rec):
+    """Split the record into (texel values, skeleton): the values become
+    differentiable replay INPUTS so their cotangents surface as plain vjp
+    outputs; everything else stays a constant in the skeleton."""
+    texvals, skel = [], []
+    for j, t, sh, (img, rnm, it, inn, pres, npres) in rec:
+        texvals.append((img, rnm))
+        skel.append((j, t, sh, (it, inn, pres, npres)))
+    return tuple(texvals), tuple(skel)
+
+
+def _rec_join_tex(skel, texvals):
+    out = []
+    for (j, t, sh, (it, inn, pres, npres)), (img, rnm) in zip(skel,
+                                                              texvals):
+        out.append((j, t, sh, (img, rnm, it, inn, pres, npres)))
+    return tuple(out)
+
+
 def _trace_cv_bwd(cfg, res, g):
+    """Backward = vjp of the replay. The recorded texel values enter as
+    differentiable replay arguments (not through a per-bounce scatter-add
+    custom VJP): their cotangents come back as dense per-bounce arrays and
+    are folded onto the atlases with ONE top-level scatter per atlas.
+    Keeping the scatters out of the backward scan (a) lets XLA drop them
+    entirely when the caller never uses the atlas gradients and (b) keeps
+    the [P,3] cotangent accumulators out of the scan carry."""
     scene, o, d, time, keys, rec = res
+    texvals0, skel = _rec_split_tex(rec)
 
-    def replay(scene, o, d, time):
-        return _trace_replay(scene, cfg, o, d, time, keys, rec)
+    def replay(scene, o, d, time, texvals):
+        return _trace_replay(scene, cfg, o, d, time, keys,
+                             _rec_join_tex(skel, texvals))
 
-    _, vjp = jax.vjp(replay, scene, o, d, time)
-    gscene, go, gd, gtime = vjp(g)
+    _, vjp = jax.vjp(replay, scene, o, d, time, texvals0)
+    gscene, go, gd, gtime, gtex = vjp(g)
+
+    def fold(data_g, idxs, gs):
+        idx = jnp.concatenate([ix.reshape(-1) for ix in idxs])
+        upd = jnp.stack([jnp.concatenate([gg[a].reshape(-1) for gg in gs])
+                         for a in range(3)], axis=-1)
+        return data_g.at[idx].add(upd)
+
+    gimg, grnm = zip(*gtex)
+    idx_t = [tr[3][0] for tr in skel]
+    idx_n = [tr[3][1] for tr in skel]
+    if scene.tex_data.shape[0] > 1:
+        gscene = dataclasses.replace(
+            gscene, tex_data=fold(gscene.tex_data, idx_t, gimg))
+    if scene.nm_data.shape[0] > 1:
+        gscene = dataclasses.replace(
+            gscene, nm_data=fold(gscene.nm_data, idx_n, grnm))
     gkeys = np.zeros(keys.shape, jax.dtypes.float0)
     return gscene, go, gd, gtime, gkeys
 
@@ -824,7 +872,12 @@ def trace(scene, cfg: RenderConfig, o, d, time, keys, with_aux=False):
     triangle, Bernoulli shadow factors) and the backward differentiates a
     replay that re-derives only the selected hits -- the candidate
     argmin, BVH walks and shadow search never run in the backward.
-    Disable with cfg.custom_vjp='off' (plain remat'd scan autodiff)."""
+    Disable with cfg.custom_vjp='off' (plain remat'd scan autodiff) —
+    note that with kernels on, the autodiff path's gradients truncate at
+    the stop-gradient'ed Pallas-kernel inputs (normal-mapped normals stop
+    influencing later bounces' derivatives), while the record-replay
+    backward differentiates the full analytic chain: custom_vjp='on' is
+    both the fast AND the exact path on TPU."""
     if with_aux or getattr(cfg, "custom_vjp", "on") == "off":
         return _trace_scan(scene, cfg, o, d, time, keys, with_aux)
     return _trace_cv(scene, cfg, o, d, time, keys)

@@ -176,33 +176,6 @@ def _paired_fetch_bwd(res, g):
 paired_fetch.defvjp(_paired_fetch_fwd, _paired_fetch_bwd)
 
 
-@jax.custom_vjp
-def saved_texel(data, idx, val):
-    """Replay-side texel 'fetch': forward returns the texel colors `val`
-    recorded by the record pass (planar (r,g,b) of [N]), backward
-    scatter-adds the cotangent onto `data` at the recorded flat indices
-    `idx` — the atlas gather never runs in the differentiable replay, yet
-    texels stay first-class parameters. Cotangent equivalence with the
-    live fetch paths: the radiance chain's where-selects already zero the
-    cotangent on lanes whose fetch was absent/unused, so the unmasked
-    scatter matches the masked ones bit-for-bit."""
-    return val
-
-
-def _saved_texel_fwd(data, idx, val):
-    return val, (data, idx)
-
-
-def _saved_texel_bwd(res, g):
-    data, idx = res
-    ct = jnp.zeros_like(data).at[idx].add(
-        jnp.stack([g[0], g[1], g[2]], axis=-1))
-    return ct, None, g
-
-
-saved_texel.defvjp(_saved_texel_fwd, _saved_texel_bwd)
-
-
 def _atlas_fetch(data, off, w, h, slot, u, v, scale_x, scale_y):
     """Nearest-texel fetch replicating Material.cpp:82-88:
     u' = fmod(u*sx, 1), v' = 1 - fmod(v*sy, 1), x = int(u'*(w-1)),
