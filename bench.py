@@ -31,10 +31,16 @@ import jax.numpy as jnp
 
 
 def timeit(jfn, args, reps):
+    """Sustained throughput: queue all reps, sync once at the end.
+
+    Device execution is in-order, so fetching the LAST result waits for
+    every queued frame; syncing per rep would charge this environment's
+    ~26 ms tunnel dispatch latency to every frame, which a real pipelined
+    workload never pays."""
     v = float(jfn(*args))  # compile + first run
     t0 = time.perf_counter()
-    for _ in range(reps):
-        v = float(jfn(*args))
+    rs = [jfn(*args) for _ in range(reps)]
+    v = float(rs[-1])
     return (time.perf_counter() - t0) / reps, v
 
 
@@ -56,7 +62,10 @@ def main():
     camera = default_camera(aspect=width / height)
 
     n_pix = width * height
-    pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
+    # tile-multiple ray count: kernel-boundary pads become free reshapes
+    from tracer.kernels import common as kc
+    n_pad = kc.pad_rows(n_pix)
+    pixel_ids = jnp.arange(n_pad, dtype=jnp.int32) % n_pix
     base_key = jax.random.key(0)
 
     # NB: pixel_ids/base_key are jit ARGUMENTS, never closure captures — a

@@ -46,10 +46,17 @@ def refract(d, n, etai_over_etat):
 
 
 def schlick_reflectance(cosine, ref_idx):
-    """Schlick's approximation (reference: Functions.cpp:49-54)."""
+    """Schlick's approximation (reference: Functions.cpp:49-54).
+
+    pow(m, 5) is spelled as explicit multiplies so the Pallas shade kernel
+    (tracer/kernels/shade.py) can reproduce it bit-identically — jnp.power's
+    lowering is backend-dependent, and a 1-ULP difference here can flip a
+    glass ray's Bernoulli lobe choice."""
     r0 = (1.0 - ref_idx) / (1.0 + ref_idx)
     r0 = r0 * r0
-    return r0 + (1.0 - r0) * jnp.power(jnp.maximum(1.0 - cosine, 0.0), 5.0)
+    m = jnp.maximum(1.0 - cosine, 0.0)
+    m2 = m * m
+    return r0 + (1.0 - r0) * (m2 * m2 * m)
 
 
 def gamma_correct(color):

@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 from tracer.kernels import common as kc
 
 GLASS = 1
-NCACHE = 20  # winner-parameter cache registers (see _kernel)
+NCACHE = 29  # winner-parameter cache registers (see _kernel)
 
 
 def intersect_tables(scene):
@@ -47,10 +47,13 @@ def intersect_tables(scene):
     per-object scalars are bit-identical).
 
     sph [S, 9]:  0:3 c, 3 r, 4:7 mb, 7 valid, 8 midf
-    quad [Q, 32]: 0:3 v0, 3:6 er, 6:9 eu, 9:12 n(stored), 12:15 mb,
+    quad [Q, 41]: 0:3 v0, 3:6 er, 6:9 eu, 9:12 n(stored), 12:15 mb,
        15 v0_n, 16 mb_n, 17 v0_er, 18 mb_er, 19 v0_eu, 20 mb_eu,
        21 er2, 22 eu2, 23 glass, 24 valid, 25 midf, 26:29 tan,
-       29:32 bitan
+       29:32 bitan, 32 sx, 33 sy, 34 pair_wa, 35 pair_ha, 36 pair_wb,
+       37 pair_hb, 38 pair_off, 39 pair_tex, 40 pair_nm (texel-index
+       fields for the in-kernel pair-atlas index computation; all-zero
+       when the material is untextured)
     mesh [max(Nm,1), 1]: 0 midf
     """
     mbs = scene.mat_mb[scene.sph_mat]
@@ -63,6 +66,8 @@ def intersect_tables(scene):
     v0 = scene.quad_v0
     mbq = scene.mat_mb[scene.quad_mat]
     is_glass = (scene.mat_type[scene.quad_mat] == GLASS).astype(jnp.float32)
+    qm = scene.quad_mat
+    f = lambda a: a.astype(jnp.float32)[:, None]  # noqa: E731
     quad = jnp.concatenate([
         v0, er, eu, n, mbq,
         jnp.sum(v0 * n, axis=-1)[:, None],
@@ -74,8 +79,13 @@ def intersect_tables(scene):
         jnp.sum(er * er, axis=-1)[:, None],
         jnp.sum(eu * eu, axis=-1)[:, None],
         is_glass[:, None], scene.quad_valid[:, None],
-        scene.quad_mat.astype(jnp.float32)[:, None],
-        scene.quad_tan, scene.quad_bitan], axis=1)
+        f(qm),
+        scene.quad_tan, scene.quad_bitan,
+        scene.mat_texscale[qm],
+        f(scene.mat_pair_wa[qm]), f(scene.mat_pair_ha[qm]),
+        f(scene.mat_pair_wb[qm]), f(scene.mat_pair_hb[qm]),
+        f(scene.mat_pair_off[qm]),
+        f(scene.mat_pair_tex[qm]), f(scene.mat_pair_nm[qm])], axis=1)
 
     Nm = scene.mesh_mat.shape[0]
     mesh = (scene.mesh_mat.astype(jnp.float32)[:, None] if Nm > 0
@@ -83,7 +93,27 @@ def intersect_tables(scene):
     return sph, quad, mesh
 
 
-def _kernel(sph_ref, quad_ref, mesh_ref, *rest, S, Q, Nm, eps):
+def _staircase(u, v, sx, sy, wf, hf):
+    """In-kernel twin of shading._texel_xy (Material.cpp:82-88): image-
+    relative nearest-texel (x, y) as i32. All inputs f32 tiles; u*sx >= 0 at
+    every call site, so fmod(x, 1) == x - floor(x) and trunc == floor —
+    both exact, bit-identical to the XLA jnp.fmod/jnp.trunc path."""
+    xs = u * sx
+    uu = xs - jnp.floor(xs)
+    ys = v * sy
+    vv = 1.0 - (ys - jnp.floor(ys))
+    x = jnp.floor(uu * (wf - 1.0)).astype(jnp.int32)
+    y = jnp.floor(vv * (hf - 1.0)).astype(jnp.int32)
+    wi = wf.astype(jnp.int32)
+    hi = hf.astype(jnp.int32)
+    zero = jnp.zeros_like(x)
+    x = jnp.clip(x, 0, jnp.maximum(wi - 1, zero))
+    y = jnp.clip(y, 0, jnp.maximum(hi - 1, zero))
+    return x, y
+
+
+def _kernel(sph_ref, quad_ref, mesh_ref, *rest, S, Q, S_real,
+            Q_real, Nm, eps, tex_out):
     (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref, lv_ref) = \
         rest[:8]
     rest = rest[8:]
@@ -91,7 +121,8 @@ def _kernel(sph_ref, quad_ref, mesh_ref, *rest, S, Q, Nm, eps):
     trimesh_refs = rest[Nm:2 * Nm]
     (j_ref, tid_ref, mid_ref, px_ref, py_ref, pz_ref,
      nx_ref, ny_ref, nz_ref, u_ref, v_ref,
-     tx_ref, ty_ref, tz_ref, bx_ref, by_ref, bz_ref) = rest[2 * Nm:]
+     tx_ref, ty_ref, tz_ref, bx_ref, by_ref, bz_ref,
+     row_ref, sub_ref, ptex_ref, pnm_ref) = rest[2 * Nm:]
 
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
@@ -102,8 +133,11 @@ def _kernel(sph_ref, quad_ref, mesh_ref, *rest, S, Q, Nm, eps):
         j_ref[:] = jnp.full(ox.shape, -1, jnp.int32)
         tid_ref[:] = jnp.full(ox.shape, -1, jnp.int32)
         mid_ref[:] = jnp.zeros(ox.shape, jnp.int32)
+        row_ref[:] = jnp.zeros(ox.shape, jnp.int32)
+        sub_ref[:] = jnp.zeros(ox.shape, jnp.int32)
         for r in (px_ref, py_ref, pz_ref, nx_ref, ny_ref, u_ref, v_ref,
-                  tx_ref, ty_ref, tz_ref, bx_ref, by_ref, bz_ref):
+                  tx_ref, ty_ref, tz_ref, bx_ref, by_ref, bz_ref,
+                  ptex_ref, pnm_ref):
             r[:] = jnp.zeros(ox.shape, jnp.float32)
         nz_ref[:] = jnp.ones(ox.shape, jnp.float32)
 
@@ -123,7 +157,8 @@ def _kernel(sph_ref, quad_ref, mesh_ref, *rest, S, Q, Nm, eps):
         tid = jnp.full(ox.shape, -1, jnp.int32)
         cache = [zero] * NCACHE
         # cache layout: 0:3 c|v0, 3 r, 4:7 mb, 7:10 er, 10:13 eu,
-        # 13:16 tan, 16:19 bitan, 19 midf
+        # 13:16 tan, 16:19 bitan, 19 midf, 20 sx, 21 sy, 22 pair_wa,
+        # 23 pair_ha, 24 pair_wb, 25 pair_hb, 26 pair_off, 27 ptex, 28 pnm
 
         def sph_body(s, carry):
             best, j, tid, cache = carry
@@ -150,7 +185,8 @@ def _kernel(sph_ref, quad_ref, mesh_ref, *rest, S, Q, Nm, eps):
             j = jnp.where(upd, s, j)
             cache = upd_cache(cache, upd, [
                 cx, cy, cz, r, mx, my, mz,
-                0., 0., 0., 0., 0., 0., 0., 0., 0., 0., 0., 0., midf])
+                0., 0., 0., 0., 0., 0., 0., 0., 0., 0., 0., 0., midf,
+                0., 0., 0., 0., 0., 0., 0., 0., 0.])
             return best, j, tid, cache
 
         def quad_body(q, carry):
@@ -191,11 +227,17 @@ def _kernel(sph_ref, quad_ref, mesh_ref, *rest, S, Q, Nm, eps):
                 ex, ey, ez, ux, uy, uz,
                 quad_ref[q, 26], quad_ref[q, 27], quad_ref[q, 28],
                 quad_ref[q, 29], quad_ref[q, 30], quad_ref[q, 31],
-                quad_ref[q, 25]])
+                quad_ref[q, 25],
+                quad_ref[q, 32], quad_ref[q, 33], quad_ref[q, 34],
+                quad_ref[q, 35], quad_ref[q, 36], quad_ref[q, 37],
+                quad_ref[q, 38], quad_ref[q, 39], quad_ref[q, 40]])
             return best, j, tid, cache
 
-        carry = jax.lax.fori_loop(0, S, sph_body, (best, j, tid, cache))
-        best, j, tid, cache = jax.lax.fori_loop(0, Q, quad_body, carry)
+        # loop only over REAL rows (pads carry valid=0 and can never win)
+        carry = jax.lax.fori_loop(0, S_real, sph_body,
+                                  (best, j, tid, cache))
+        best, j, tid, cache = jax.lax.fori_loop(0, Q_real, quad_body,
+                                                carry)
 
         # mesh candidates: per-mesh closest raw hit (VMEM inputs from the
         # traverse kernel), scene-level eps cut (Scene.h:224)
@@ -207,7 +249,8 @@ def _kernel(sph_ref, quad_ref, mesh_ref, *rest, S, Q, Nm, eps):
             j = jnp.where(upd, S + Q + m, j)
             tid = jnp.where(upd, trimesh_refs[m][:], tid)
             cache = [jnp.where(upd, zero, c) for c in cache[:19]] \
-                + [jnp.where(upd, mesh_ref[m, 0], cache[19])]
+                + [jnp.where(upd, mesh_ref[m, 0], cache[19])] \
+                + [jnp.where(upd, zero, c) for c in cache[20:]]
 
         # ---- post-loop hit detail from the winner's cached params ------
         # sphere (sphere_hit_detail_planar)
@@ -263,6 +306,26 @@ def _kernel(sph_ref, quad_ref, mesh_ref, *rest, S, Q, Nm, eps):
         j_ref[:] = jnp.where(miss, -1, j)
         tid_ref[:] = tid
         mid_ref[:] = cache[19].astype(jnp.int32)
+
+        if tex_out:
+            # pair-atlas texel index (integrator._gather_hit_p use_pair
+            # branch): xa/ya from the primary dims, xb/yb the product-
+            # region staircase; rel = (ya+yb)*wc + xa+xb. Only quad
+            # winners can be textured here (sphere u/v need theta/phi —
+            # scenes with textured spheres are routed to the XLA path by
+            # scene.sphere_uv_needed). Sphere/mesh winners carry an
+            # all-zero cache -> row pair_off=0, sub 0, ptex=pnm=0.
+            sx, sy = cache[20], cache[21]
+            xa, ya = _staircase(uq, vq, sx, sy, cache[22], cache[23])
+            xb, yb = _staircase(uq, vq, sx, sy, cache[24], cache[25])
+            wc = cache[22].astype(jnp.int32) + jnp.maximum(
+                cache[24].astype(jnp.int32) - 1, 0)
+            rel = (ya + yb) * wc + xa + xb
+            row_ref[:] = cache[26].astype(jnp.int32) \
+                + jax.lax.shift_right_logical(rel, 4)
+            sub_ref[:] = rel & 15
+            ptex_ref[:] = cache[27]
+            pnm_ref[:] = cache[28]
         px_ref[:] = jnp.where(is_q, pqx, psx)
         py_ref[:] = jnp.where(is_q, pqy, psy)
         pz_ref[:] = jnp.where(is_q, pqz, psz)
@@ -279,13 +342,18 @@ def _kernel(sph_ref, quad_ref, mesh_ref, *rest, S, Q, Nm, eps):
         bz_ref[:] = cache[18]
 
 
-def first_hits(scene, o, d, time, t_mesh, tri_mesh, live=None, eps=1e-5):
+def first_hits(scene, o, d, time, t_mesh, tri_mesh, live=None, eps=1e-5,
+               tex_out=False):
     """Fused closest-hit + detail for planar rays.
 
     o, d, time planar [N]; t_mesh/tri_mesh: [Nm, N] per-mesh closest raw
     hits (traverse kernel outputs; pass empty [0, N] when no meshes).
     Returns dict(j [-1=miss], tid, mid, p, n, u, v, tan, bitan) — p/n/u/v
     valid for sphere/quad winners (mesh detail is re-derived in XLA).
+    `tex_out=True` (static; requires scene.pair_mode and not
+    scene.sphere_uv_needed) additionally returns the pair-atlas texel
+    index record (row, sub, ptex, pnm) computed in-kernel for quad
+    winners — the input of the fused-bounce pair gather.
     Selection-only + detail record: non-differentiable (stop_gradient'ed);
     gradients flow through the XLA/replay re-derivation."""
     N = o[0].shape[0]
@@ -311,25 +379,31 @@ def first_hits(scene, o, d, time, t_mesh, tri_mesh, live=None, eps=1e-5):
     for m in range(Nm):
         mesh_in.append(kc.to_tiles(sg(tri_mesh[m]), n_pad, fill=-1))
 
-    kern = functools.partial(_kernel, S=S, Q=Q, Nm=Nm, eps=float(eps))
+    kern = functools.partial(_kernel, S=S, Q=Q,
+                             S_real=min(scene.n_sph_real, S),
+                             Q_real=min(scene.n_quad_real, Q),
+                             Nm=Nm, eps=float(eps), tex_out=tex_out)
     ray_spec = pl.BlockSpec((tr, kc.LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     f32 = jnp.float32
     i32 = jnp.int32
-    out_dtypes = [i32, i32, i32] + [f32] * 14
+    out_dtypes = [i32, i32, i32] + [f32] * 14 + [i32, i32, f32, f32]
     outs = pl.pallas_call(
         kern,
         grid=(rows // tr,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
         + [ray_spec] * (8 + 2 * Nm),
-        out_specs=tuple([ray_spec] * 17),
+        out_specs=tuple([ray_spec] * 21),
         out_shape=tuple(jax.ShapeDtypeStruct((rows, kc.LANES), dt)
                         for dt in out_dtypes),
         interpret=kc.interpret(),
     )(sg(sph_tab), sg(quad_tab), sg(mesh_tab),
       *otiles, *tiles, tmt, lv, *mesh_in)
     f = [kc.from_tiles(x, N) for x in outs]
-    return dict(j=f[0], tid=f[1], mid=f[2],
-                p=(f[3], f[4], f[5]), n=(f[6], f[7], f[8]),
-                u=f[9], v=f[10], tan=(f[11], f[12], f[13]),
-                bitan=(f[14], f[15], f[16]))
+    out = dict(j=f[0], tid=f[1], mid=f[2],
+               p=(f[3], f[4], f[5]), n=(f[6], f[7], f[8]),
+               u=f[9], v=f[10], tan=(f[11], f[12], f[13]),
+               bitan=(f[14], f[15], f[16]))
+    if tex_out:
+        out.update(row=f[17], sub=f[18], ptex=f[19], pnm=f[20])
+    return out

@@ -73,8 +73,9 @@ def shadow_tables(scene):
     return light_tab, sph_tab, quad_tab
 
 
-def _kernel(light_ref, sph_ref, quad_ref, *rest, L, S, Q, K, eps,
-            reference_sampler, mesh_ranges, leaf_width=4):
+def _kernel(light_ref, sph_ref, quad_ref, *rest, L, S, Q, S_real,
+            Q_real, K, eps, reference_sampler, mesh_ranges,
+            leaf_width=4):
     if mesh_ranges:
         (mesh_ref, nodes_f_ref, nodes_i_ref, leaf_ref,
          px_ref, py_ref, pz_ref, tm_ref, key_ref, lv_ref, out_ref) = rest
@@ -192,9 +193,10 @@ def _kernel(light_ref, sph_ref, quad_ref, *rest, L, S, Q, K, eps,
                                    jnp.where(hit & (u_o > transp),
                                              1.0, 0.0))
 
+            # loop only over REAL rows (pads carry valid=0)
             blocked = jax.lax.fori_loop(
-                0, S, sph_body, jnp.zeros_like(px))
-            blocked = jax.lax.fori_loop(0, Q, quad_body, blocked)
+                0, S_real, sph_body, jnp.zeros_like(px))
+            blocked = jax.lax.fori_loop(0, Q_real, quad_body, blocked)
 
             # Mesh occluders (Scene::computeShadow scans meshes too,
             # Scene.h:244-249): ONE candidate per mesh — its closest raw
@@ -280,7 +282,8 @@ def shadow_factors(scene, cfg, p, time, keys, eps, live=None):
         mesh_ranges = tuple(zip(scene.mesh_root, scene.mesh_end))
 
     kern = functools.partial(
-        _kernel, L=L, S=S, Q=Q, K=K, eps=float(eps),
+        _kernel, L=L, S=S, Q=Q, S_real=min(scene.n_sph_real, S),
+        Q_real=min(scene.n_quad_real, Q), K=K, eps=float(eps),
         reference_sampler=(cfg.compat == "reference"),
         mesh_ranges=mesh_ranges, leaf_width=scene.leaf_width)
     grid = rows // tr

@@ -172,6 +172,25 @@ def _rows_i(table_i32, idx):
     return out.astype(jnp.int32)
 
 
+def _mesh_detail_p(scene, o, d, j, tid):
+    """Differentiable mesh-hit detail: barycentric position/normal via the
+    SHARED vertex table (so vertex grads scatter-add onto mesh_verts) and
+    interpolated vertex/face colors (Scene.h:291-298). Returns planar
+    (p_m, n_m, col_m, has_col). Callers pass any j/tid; non-mesh lanes
+    produce garbage that must be masked by an is_mesh select."""
+    tid = jnp.clip(tid, 0, scene.tri_a.shape[0] - 1)
+    vcols = vp.cols(scene.mesh_verts)
+    _, p_m, n_m, w0, w1, w2 = prim.triangle_hit_detail_planar(
+        o, d, vp.gather(vcols, scene.tri_va[tid]),
+        vp.gather(vcols, scene.tri_vb[tid]),
+        vp.gather(vcols, scene.tri_vc[tid]))
+    ca = vp.gather(vp.cols(scene.tri_col_a), tid)
+    cb = vp.gather(vp.cols(scene.tri_col_b), tid)
+    cc = vp.gather(vp.cols(scene.tri_col_c), tid)
+    col_m = tuple(w0 * ca[i] + w1 * cb[i] + w2 * cc[i] for i in range(3))
+    return p_m, n_m, col_m, scene.tri_has_col[tid]
+
+
 def _gather_hit_p(scene, o, d, a2, time, j, tid, eps,
                   kernels_on=False, packed_on=None, k1=None,
                   fetch_tex=True, tex_saved=None):
@@ -241,25 +260,13 @@ def _gather_hit_p(scene, o, d, a2, time, j, tid, eps,
         tan_q = (qrow[:, 12], qrow[:, 13], qrow[:, 14])
         bitan_q = (qrow[:, 15], qrow[:, 16], qrow[:, 17])
 
-    # --- mesh branch -----------------------------------------------------
+    # --- mesh branch (shared-vertex gathers: grads scatter-add onto
+    # mesh_verts — one gradient per shared vertex, reference Mesh.h:111-124)
     Nm = scene.mesh_mat.shape[0]
     if Nm > 0:
         jm = jnp.clip(j - S - Q, 0, Nm - 1)
-        tid = jnp.clip(tid, 0, scene.tri_a.shape[0] - 1)
-        # gather corners via the SHARED vertex table (not the baked tri_a/b/c
-        # copies) so vertex gradients scatter-add onto mesh_verts — one
-        # gradient per shared vertex (reference Mesh.h:111-124)
-        vcols = vp.cols(scene.mesh_verts)
-        _, p_m, n_m, w0, w1, w2 = prim.triangle_hit_detail_planar(
-            o, d, vp.gather(vcols, scene.tri_va[tid]),
-            vp.gather(vcols, scene.tri_vb[tid]),
-            vp.gather(vcols, scene.tri_vc[tid]))
+        p_m, n_m, col_m, has_col = _mesh_detail_p(scene, o, d, j, tid)
         mid_m = scene.mesh_mat[jm]
-        ca = vp.gather(vp.cols(scene.tri_col_a), tid)
-        cb = vp.gather(vp.cols(scene.tri_col_b), tid)
-        cc = vp.gather(vp.cols(scene.tri_col_c), tid)
-        col_m = tuple(w0 * ca[i] + w1 * cb[i] + w2 * cc[i] for i in range(3))
-        has_col = scene.tri_has_col[tid]
     else:
         zero = vp.full_like(o, 0.0)
         p_m = n_m = col_m = zero
@@ -570,7 +577,7 @@ def _init_state(o, d, time):
 
 
 def _bounce_core(scene, cfg: RenderConfig, keys, state, b, saved=None,
-                 last=False):
+                 last=False, with_rec=False):
     """One bounce of the wavefront loop (Scene::rayTraceRecursive body,
     Scene.h:258-342).
 
@@ -611,6 +618,82 @@ def _bounce_core(scene, cfg: RenderConfig, keys, state, b, saved=None,
     bkeys = rng.salted(keys, b)
     a2 = vp.dot(d, d)
     zero = o[0] * 0.0
+
+    # ---- fully-fused bounce: first-hit kernel -> [pair gather] -> shade
+    # kernel. The only per-bounce XLA work is the pair-atlas row gather
+    # (hard per-row floor), its near-free transpose, the one-hot MXU
+    # material-row fetch, and (when present) mesh detail / image skybox /
+    # shadow-kernel glue. Texel indices are computed inside the first-hit
+    # kernel, which requires quad-only texturing (scene.sphere_uv_needed
+    # routes textured-sphere scenes to the general path below).
+    no_atlas = (scene.tex_data.shape[0] <= 1
+                and scene.nm_data.shape[0] <= 1)
+    fused = (saved is None and kernels_on and not with_rec
+             and not scene.sphere_uv_needed
+             and ((scene.pair_mode and packed_on) or no_atlas))
+    if fused:
+        from tracer.kernels import intersect as kintersect
+        from tracer.kernels import shade as kshade
+        Nm = scene.mesh_mat.shape[0]
+        fetch_tex = not (last and L == 0 and not scene.emissive_tex_image)
+        use_pair = (fetch_tex and not no_atlas
+                    and scene.pair_pack.shape[0] > 1)
+        with jax.named_scope("traverse"):
+            if Nm > 0:
+                from tracer.kernels import traverse as ktraverse
+                t_raw, tri_raw = ktraverse.mesh_closest_hits(scene, o, d)
+                t_raw, tri_raw = t_raw.T, tri_raw.T            # [Nm, N]
+            else:
+                N0 = o[0].shape[0]
+                t_raw = jnp.full((0, N0), INF)
+                tri_raw = jnp.full((0, N0), -1, jnp.int32)
+            k1 = kintersect.first_hits(scene, o, d, time, t_raw,
+                                       tri_raw, live=active, eps=eps,
+                                       tex_out=use_pair)
+        with jax.named_scope("shade_glue"):
+            mat_rows = _rows(kshade.shade_mat_table(scene), k1["mid"])
+            mesh_detail = None
+            p_hit = k1["p"]
+            if Nm > 0:
+                is_mesh = k1["j"] >= (scene.sph_center.shape[0]
+                                      + scene.quad_v0.shape[0])
+                mesh_detail = _mesh_detail_p(scene, o, d,
+                                             jnp.maximum(k1["j"], 0),
+                                             k1["tid"])
+                p_hit = vp.where(is_mesh, mesh_detail[0], p_hit)
+            sky = None
+            if scene.has_sky_image:
+                sky = shading.skybox_color_p(
+                    scene, d, jnp.broadcast_to(n_rem, zero.shape), ref,
+                    packed=packed_on)
+            rows = None
+            if use_pair:
+                # ONE pair-row gather (the per-bounce hard floor) + the
+                # one-hot sub-texel select in XLA; the selected words
+                # enter the shade kernel as two planar i32 inputs.
+                prows = scene.pair_pack[k1["row"]]           # [N, 32]
+                oh = (k1["sub"][:, None] == jnp.arange(
+                    shading.PACK_BLOCK, dtype=jnp.int32)[None]
+                    ).astype(jnp.int32)
+                vt = jnp.sum(prows[:, :shading.PACK_BLOCK] * oh, axis=1)
+                vn = jnp.sum(prows[:, shading.PACK_BLOCK:] * oh, axis=1)
+                rows = (vt, vn, k1["ptex"], k1["pnm"])
+        live = active & (k1["j"] >= 0)
+        shadows = None
+        if L > 0:
+            with jax.named_scope("direct_light"):
+                shadows = _shadow_factors_all(scene, cfg, p_hit, time,
+                                              bkeys, eps, live=live)
+        with jax.named_scope("shade_kernel"):
+            out = kshade.shade_scatter(
+                scene, cfg, state, bkeys, k1, mat_rows,
+                jnp.asarray(n_rem), mesh_detail=mesh_detail, sky=sky,
+                shadows=shadows, rows=rows, last=last)
+        if last:
+            state = dict(state, acc=out)
+        else:
+            state = out
+        return state, occupancy, None
 
     k1 = None
     if saved is None:
@@ -751,13 +834,15 @@ def _trace_record(scene, cfg: RenderConfig, o, d, time, keys):
     B = cfg.max_bounces
 
     def bounce(state, b):
-        state, _, rec = _bounce_core(scene, cfg, keys, state, b)
+        state, _, rec = _bounce_core(scene, cfg, keys, state, b,
+                                     with_rec=True)
         return state, rec
 
     state, rec = jax.lax.scan(bounce, _init_state(o, d, time),
                               jnp.arange(B - 1))
     state, _, rec_last = _bounce_core(scene, cfg, keys, state,
-                                      jnp.int32(B - 1), last=True)
+                                      jnp.int32(B - 1), last=True,
+                                      with_rec=True)
     return _finish(state, cfg), (rec, rec_last)
 
 

@@ -151,6 +151,12 @@ class DeviceScene:
     #   (when False and a bounce's diffuse is dead — last bounce, no
     #   lights — the integrator statically skips the texture gather:
     #   emission then provably never selects the fetched texel)
+    n_sph_real: int = 0   # real (non-padding) sphere count: kernels loop
+    n_quad_real: int = 0  # only over real rows (pads have valid=0 anyway)
+    sphere_uv_needed: bool = False    # some sphere material has a textype
+    #   (checker or image): sphere u/v need theta/phi, whose arccos/atan2
+    #   cannot run in a Mosaic kernel, so texel indices must be computed
+    #   in XLA instead of inside the first-hit kernel (kernels/intersect)
 
     # --- static helpers --------------------------------------------------
     @property
@@ -176,7 +182,8 @@ class DeviceScene:
 
 _fields = [f.name for f in dataclasses.fields(DeviceScene)]
 _meta = ["mesh_root", "mesh_end", "leaf_width", "has_sky_image", "pair_mode",
-         "emissive_tex_image"]
+         "emissive_tex_image", "sphere_uv_needed", "n_sph_real",
+         "n_quad_real"]
 jax.tree_util.register_dataclass(
     DeviceScene,
     data_fields=[f for f in _fields if f not in _meta],
@@ -674,4 +681,7 @@ def compile_scene(sb: B.SceneBuilder, leaf_width: int = 4,
         pair_mode=pair_mode,
         emissive_tex_image=bool(
             np.any((mat_emissive > 0) & (mat_textype == 2))),
+        sphere_uv_needed=bool(
+            np.any((sph_valid > 0) & (mat_textype[sph_mat] != 0))),
+        n_sph_real=S, n_quad_real=Q,
     )
