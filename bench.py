@@ -87,21 +87,44 @@ def main():
     total = primary * per_primary
     rays_s = primary / dt
 
-    # backward: grad of mean radiance w.r.t. material albedo + sphere geom
-    def loss(diff, center, scene, camera, pixel_ids, base_key):
-        s2 = dataclasses.replace(scene, mat_diffuse=diff, sph_center=center)
-        acc = render_batch(s2, camera, cfg, width, height, pixel_ids,
-                           jnp.int32(0), base_key)
-        return jnp.mean(acc)
+    # backward — the BASELINE.md protocol: fwd+bwd on Cornell @16spp with
+    # the full flagship trainable set (mat_diffuse, sph_center, tex_data —
+    # Cornell has no mesh). The packed-atlas forward stays valid here:
+    # the bench atlases are pristine, so the recorded texel values are
+    # bit-identical to data[idx] and the texel cotangents reach tex_data
+    # through the custom-VJP top-level fold.
+    def loss(diff, center, tex, scene, camera, pixel_ids, base_key):
+        s2 = dataclasses.replace(scene, mat_diffuse=diff, sph_center=center,
+                                 tex_data=tex)
+        acc = render_pixels(s2, camera, cfg, width, height, pixel_ids,
+                            spp, base_key)
+        return jnp.mean(acc / spp)
 
     def gsum(*args):
-        g = jax.grad(loss, argnums=(0, 1))(*args)
+        g = jax.grad(loss, argnums=(0, 1, 2))(*args)
         return sum(jnp.sum(x) for x in jax.tree.leaves(g))
 
-    gargs = (scene.mat_diffuse, scene.sph_center, scene, camera, pixel_ids,
-             base_key)
+    gargs = (scene.mat_diffuse, scene.sph_center, scene.tex_data, scene,
+             camera, pixel_ids, base_key)
     dt_bwd, _ = timeit(jax.jit(gsum), gargs, reps)
-    rays_s_fwdbwd = n_pix / dt_bwd
+    rays_s_fwdbwd = n_pix * spp / dt_bwd
+
+    # companion metric without texel grads: the texel-cotangent fold is a
+    # hardware-floor scatter (~7 ns/scalar on v5e — benchmarks/
+    # gather_exp12.py probes), ~41 ms/sample of the full-protocol cost.
+    def loss_nt(diff, center, scene, camera, pixel_ids, base_key):
+        s2 = dataclasses.replace(scene, mat_diffuse=diff,
+                                 sph_center=center)
+        acc = render_pixels(s2, camera, cfg, width, height, pixel_ids,
+                            spp, base_key)
+        return jnp.mean(acc / spp)
+
+    def gsum_nt(*args):
+        g = jax.grad(loss_nt, argnums=(0, 1))(*args)
+        return sum(jnp.sum(x) for x in jax.tree.leaves(g))
+
+    dt_nt, _ = timeit(jax.jit(gsum_nt), gargs[:2] + gargs[3:], reps)
+    rays_s_fwdbwd_nt = n_pix * spp / dt_nt
 
     print(json.dumps({
         "metric": "primary_rays_per_s_fwd_cornell",
@@ -110,6 +133,7 @@ def main():
         "vs_baseline": round(rays_s / 50e6, 4),
         "total_rays_per_s": round(rays_s * per_primary),
         "fwdbwd_primary_rays_per_s": round(rays_s_fwdbwd),
+        "fwdbwd_no_texgrad_rays_per_s": round(rays_s_fwdbwd_nt),
         "config": f"{width}x{height}@{spp}spp b{cfg.max_bounces}",
         "device": str(jax.devices()[0]),
     }))

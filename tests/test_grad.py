@@ -226,6 +226,41 @@ def test_grad_camera_position():
         (g_ad, g_fd)
 
 
+def test_grad_camera_orientation():
+    """FD check of the pose quaternion (SURVEY §2.22: the full pose is a
+    differentiable parameter; reference src/Camera.cpp:41-132 +
+    Trackball.cpp). generate_rays normalizes the quaternion internally, so
+    the tangent stays on the unit sphere and FD of the raw 4-vector is
+    well-defined."""
+    import dataclasses
+    scene = _simple_scene()
+    cam = default_camera(aspect=1.0)
+    n = 6
+    u = jnp.linspace(0.45, 0.55, n)
+    v = jnp.full(n, 0.48)
+    keys = trng.ray_keys(jax.random.key(0), jnp.arange(n, dtype=jnp.int32))
+    # tilt slightly so the rotation isn't at the identity's symmetry point
+    q0 = jnp.asarray([0.99, 0.08, 0.05, 0.03], jnp.float32)
+
+    def loss_of(q):
+        c = dataclasses.replace(cam, quaternion=q)
+        o, d = generate_rays(c, u, v)
+        return jnp.sum(integrator.trace(scene, CFG, o, d, jnp.zeros(n),
+                                        keys))
+
+    g_ad = np.asarray(jax.grad(loss_of)(q0))
+    assert np.isfinite(g_ad).all()
+    eps = 1e-3
+    g_fd = np.zeros(4)
+    for i in range(4):
+        dq = np.zeros(4, np.float32)
+        dq[i] = eps
+        g_fd[i] = (float(loss_of(q0 + dq))
+                   - float(loss_of(q0 - dq))) / (2 * eps)
+    assert np.abs(g_ad - g_fd).max() < 3e-2 + 5e-2 * np.abs(g_fd).max(), \
+        (g_ad, g_fd)
+
+
 # ---------------------------------------------------------------------------
 # Multi-bounce chains: gradients THROUGH mirror / glass scatter paths
 # (VERDICT r1 weak #5 — the NaN-clamp sites in primitives/vec3p only bite

@@ -62,6 +62,38 @@ def test_fit_recovers_albedo():
     assert all(np.isfinite(h["grad_norm"]) for h in hist)
 
 
+def test_fit_recovers_camera_orientation():
+    """Pose recovery through the differentiable quaternion (SURVEY §2.22:
+    the full camera pose is a trainable parameter).
+
+    Image-matching pose gradients are shading gradients only (visibility/
+    edge selection is detached by design — SURVEY §7), so the recovery
+    scene is the smooth procedural sky: pitch (x) and roll (z) are
+    observable through the gradient's d.y dependence; yaw (y) is in its
+    null space and must simply stay finite."""
+    from tracer.scene.builder import SceneBuilder
+    from tracer.scene.device import compile_scene
+    sb = SceneBuilder()
+    sb.dark_sky = False
+    scene = compile_scene(sb)
+    cam = default_camera(aspect=W / H)
+    cfg = RenderConfig(width=W, height=H, nsamples=SPP, max_bounces=1)
+    target = _target(scene, cam, cfg)
+
+    q_off = jnp.asarray([0.9995, 0.025, 0.0, 0.015], jnp.float32)
+    cam0 = dataclasses.replace(cam, quaternion=q_off)
+    _, cam1, hist = T.fit(scene, cam0, cfg, target, ["cam_quaternion"],
+                          steps=50, lr=2e-3, width=W, height=H,
+                          nsamples=SPP, base_key=jax.random.key(0))
+    assert hist[-1]["loss"] < hist[0]["loss"] * 0.05, (hist[0], hist[-1])
+    q1 = np.asarray(cam1.quaternion, np.float64)
+    q1 = q1 / np.linalg.norm(q1)
+    # observable components recovered toward identity
+    assert abs(q1[1]) < 0.025 * 0.5, q1
+    assert abs(q1[3]) < 0.015 * 0.5, q1
+    assert np.isfinite(q1).all()
+
+
 def test_fit_checkpoint_exact_resume(tmp_path):
     scene = _scene()
     cam = default_camera(aspect=W / H)

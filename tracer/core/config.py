@@ -63,6 +63,10 @@ class RenderConfig:
     packed_atlas: str = "auto"
 
     def __post_init__(self):
+        if self.max_bounces < 1:
+            # the trace drivers unroll the final bounce out of the scan,
+            # so zero bounces would still execute one (at b = -1)
+            raise ValueError("max_bounces must be >= 1")
         if self.compat not in ("reference", "physical"):
             raise ValueError(f"unknown compat mode: {self.compat!r}")
         if self.kernels not in ("auto", "on", "off"):

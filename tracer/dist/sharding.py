@@ -62,7 +62,7 @@ def _trace_pixels(scene, camera: Camera, cfg: RenderConfig, width: int,
         # pixel_ids vary over dp only; sid varies over sp. Promote the ray
         # state to varying over both mesh axes so the integrator's scan
         # carry types line up under shard_map.
-        pids = jax.lax.pvary(pixel_ids, ("sp",))
+        pids = jax.lax.pcast(pixel_ids, ("sp",), to="varying")
         keys = rng.ray_keys(base_key, pids)
         keys = rng.salted(keys, sid)
         jit_uv = rng.uniform(rng.salted(keys, rng.PIXEL_JITTER), (2,))
@@ -94,9 +94,13 @@ def render_pixels_sharded(scene, camera: Camera, cfg: RenderConfig,
     # check_vma=False: the replay backward accumulates the texel-atlas
     # cotangent across the bounce scan; jax's varying-manual-axes checker
     # types the zero init as replicated but the per-bounce scatter-add as
-    # varying and rejects the carry (jax-ml/jax bug, the error message
-    # itself prescribes this workaround). Semantics are unaffected: every
-    # cross-device reduction here is an explicit psum.
+    # varying and rejects the carry (jax-ml/jax#26623-family carry-typing
+    # limitation; the error message itself prescribes this workaround).
+    # NOTE this disables the missing-psum type check for this whole
+    # function and its backward — re-enable once the carry-typing bug is
+    # fixed upstream. Semantics are unaffected: every cross-device
+    # reduction here is an explicit psum, and test_dist pins sharded ==
+    # single-device bitwise.
     @functools.partial(
         shard_map, mesh=mesh, check_vma=False,
         in_specs=(P(), P(), P("dp"), P("sp")),
@@ -113,37 +117,29 @@ def render_pixels_sharded(scene, camera: Camera, cfg: RenderConfig,
 def train_step(scene, camera: Camera, cfg: RenderConfig, width: int,
                height: int, pixel_ids, target, nsamples: int, base_key,
                mesh: Mesh, lr: float = 1e-2):
-    """One differentiable-rendering optimization step (the framework's
-    `train()`): L2 image loss against `target`, gradients w.r.t. the
-    trainable scene parameters (sphere geometry, material table, texture
-    atlas) and the camera pose, SGD update. Gradients cross the mesh via
-    the psums autodiff inserts for the shard_map — the TPU-native
+    """One differentiable-rendering optimization step over the device
+    mesh — a thin delegation to the PRODUCT optimization loop
+    (`tracer.train.fit` with the mesh plumbed through), so the sharded
+    path exercises the same parameter handling, stale-pack guard and
+    optimizer machinery as single-chip training. Gradients cross the mesh
+    via the psums autodiff inserts for the shard_map — the TPU-native
     equivalent of an all-reduce over scanline workers.
 
     Returns (loss, new_scene, new_camera).
     """
-    import dataclasses
+    import optax
 
-    from tracer.train import guard_config
+    from tracer import train as T
 
-    trainable = ("sph_center", "sph_radius", "mat_diffuse", "tex_data",
-                 "mesh_verts")
+    trainable = ["sph_center", "sph_radius", "mat_diffuse", "tex_data",
+                 "mesh_verts", "cam_position"]
     # tex_data is trainable: the packed-atlas twins would go stale after
     # the first update -- render through the exact gather paths.
-    cfg = guard_config(cfg, trainable)
-
-    def loss_fn(params, cam_pos):
-        scene_ = dataclasses.replace(scene, **params)
-        cam_ = dataclasses.replace(camera, position=cam_pos)
-        rad = render_pixels_sharded(scene_, cam_, cfg, width, height,
-                                    pixel_ids, nsamples, base_key, mesh)
-        return jnp.mean((rad - target) ** 2)
-
-    params = {k: getattr(scene, k) for k in trainable}
-    loss, (gp, gc) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
-        params, camera.position)
-    new_scene = dataclasses.replace(
-        scene, **{k: getattr(scene, k) - lr * gp[k] for k in trainable})
-    new_camera = dataclasses.replace(camera,
-                                     position=camera.position - lr * gc)
+    cfg = T.guard_config(cfg, trainable)
+    opt = optax.sgd(lr)
+    params = T.split_params(scene, camera, trainable)
+    step_fn = T.make_step(opt, cfg, target, width, height, nsamples, mesh)
+    params, _, loss, _ = step_fn(params, opt.init(params), scene, camera,
+                                 pixel_ids, base_key)
+    new_scene, new_camera = T.apply_params(scene, camera, params)
     return loss, new_scene, new_camera

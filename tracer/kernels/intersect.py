@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 from tracer.kernels import common as kc
 
 GLASS = 1
-NCACHE = 29  # winner-parameter cache registers (see _kernel)
+NCACHE = 35  # winner-parameter cache registers (see _kernel)
 
 
 def intersect_tables(scene):
@@ -51,9 +51,10 @@ def intersect_tables(scene):
        15 v0_n, 16 mb_n, 17 v0_er, 18 mb_er, 19 v0_eu, 20 mb_eu,
        21 er2, 22 eu2, 23 glass, 24 valid, 25 midf, 26:29 tan,
        29:32 bitan, 32 sx, 33 sy, 34 pair_wa, 35 pair_ha, 36 pair_wb,
-       37 pair_hb, 38 pair_off, 39 pair_tex, 40 pair_nm (texel-index
-       fields for the in-kernel pair-atlas index computation; all-zero
-       when the material is untextured)
+       37 pair_hb, 38 pair_off, 39 pair_tex, 40 pair_nm, 41 tex_off,
+       42 tex_w, 43 tex_h, 44 nm_off, 45 nm_w, 46 nm_h (texel-index
+       fields for the in-kernel pair-atlas / true-atlas index
+       computation; all-zero when the material is untextured)
     mesh [max(Nm,1), 1]: 0 midf
     """
     mbs = scene.mat_mb[scene.sph_mat]
@@ -85,7 +86,13 @@ def intersect_tables(scene):
         f(scene.mat_pair_wa[qm]), f(scene.mat_pair_ha[qm]),
         f(scene.mat_pair_wb[qm]), f(scene.mat_pair_hb[qm]),
         f(scene.mat_pair_off[qm]),
-        f(scene.mat_pair_tex[qm]), f(scene.mat_pair_nm[qm])], axis=1)
+        f(scene.mat_pair_tex[qm]), f(scene.mat_pair_nm[qm]),
+        f(scene.tex_off[scene.mat_tex[qm]]),
+        f(scene.tex_w[scene.mat_tex[qm]]),
+        f(scene.tex_h[scene.mat_tex[qm]]),
+        f(scene.nm_off[scene.mat_nm[qm]]),
+        f(scene.nm_w[scene.mat_nm[qm]]),
+        f(scene.nm_h[scene.mat_nm[qm]])], axis=1)
 
     Nm = scene.mesh_mat.shape[0]
     mesh = (scene.mesh_mat.astype(jnp.float32)[:, None] if Nm > 0
@@ -113,7 +120,7 @@ def _staircase(u, v, sx, sy, wf, hf):
 
 
 def _kernel(sph_ref, quad_ref, mesh_ref, *rest, S, Q, S_real,
-            Q_real, Nm, eps, tex_out):
+            Q_real, Nm, eps, tex_out, p_tex=1, p_nm=1):
     (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref, lv_ref) = \
         rest[:8]
     rest = rest[8:]
@@ -122,7 +129,8 @@ def _kernel(sph_ref, quad_ref, mesh_ref, *rest, S, Q, S_real,
     (j_ref, tid_ref, mid_ref, px_ref, py_ref, pz_ref,
      nx_ref, ny_ref, nz_ref, u_ref, v_ref,
      tx_ref, ty_ref, tz_ref, bx_ref, by_ref, bz_ref,
-     row_ref, sub_ref, ptex_ref, pnm_ref) = rest[2 * Nm:]
+     row_ref, sub_ref, ptex_ref, pnm_ref, idxt_ref, idxn_ref) = \
+        rest[2 * Nm:]
 
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
@@ -135,6 +143,8 @@ def _kernel(sph_ref, quad_ref, mesh_ref, *rest, S, Q, S_real,
         mid_ref[:] = jnp.zeros(ox.shape, jnp.int32)
         row_ref[:] = jnp.zeros(ox.shape, jnp.int32)
         sub_ref[:] = jnp.zeros(ox.shape, jnp.int32)
+        idxt_ref[:] = jnp.zeros(ox.shape, jnp.int32)
+        idxn_ref[:] = jnp.zeros(ox.shape, jnp.int32)
         for r in (px_ref, py_ref, pz_ref, nx_ref, ny_ref, u_ref, v_ref,
                   tx_ref, ty_ref, tz_ref, bx_ref, by_ref, bz_ref,
                   ptex_ref, pnm_ref):
@@ -158,7 +168,9 @@ def _kernel(sph_ref, quad_ref, mesh_ref, *rest, S, Q, S_real,
         cache = [zero] * NCACHE
         # cache layout: 0:3 c|v0, 3 r, 4:7 mb, 7:10 er, 10:13 eu,
         # 13:16 tan, 16:19 bitan, 19 midf, 20 sx, 21 sy, 22 pair_wa,
-        # 23 pair_ha, 24 pair_wb, 25 pair_hb, 26 pair_off, 27 ptex, 28 pnm
+        # 23 pair_ha, 24 pair_wb, 25 pair_hb, 26 pair_off, 27 ptex,
+        # 28 pnm, 29 tex_off, 30 tex_w, 31 tex_h, 32 nm_off, 33 nm_w,
+        # 34 nm_h
 
         def sph_body(s, carry):
             best, j, tid, cache = carry
@@ -186,7 +198,8 @@ def _kernel(sph_ref, quad_ref, mesh_ref, *rest, S, Q, S_real,
             cache = upd_cache(cache, upd, [
                 cx, cy, cz, r, mx, my, mz,
                 0., 0., 0., 0., 0., 0., 0., 0., 0., 0., 0., 0., midf,
-                0., 0., 0., 0., 0., 0., 0., 0., 0.])
+                0., 0., 0., 0., 0., 0., 0., 0., 0.,
+                0., 0., 0., 0., 0., 0.])
             return best, j, tid, cache
 
         def quad_body(q, carry):
@@ -230,7 +243,9 @@ def _kernel(sph_ref, quad_ref, mesh_ref, *rest, S, Q, S_real,
                 quad_ref[q, 25],
                 quad_ref[q, 32], quad_ref[q, 33], quad_ref[q, 34],
                 quad_ref[q, 35], quad_ref[q, 36], quad_ref[q, 37],
-                quad_ref[q, 38], quad_ref[q, 39], quad_ref[q, 40]])
+                quad_ref[q, 38], quad_ref[q, 39], quad_ref[q, 40],
+                quad_ref[q, 41], quad_ref[q, 42], quad_ref[q, 43],
+                quad_ref[q, 44], quad_ref[q, 45], quad_ref[q, 46]])
             return best, j, tid, cache
 
         # loop only over REAL rows (pads carry valid=0 and can never win)
@@ -326,6 +341,18 @@ def _kernel(sph_ref, quad_ref, mesh_ref, *rest, S, Q, S_real,
             sub_ref[:] = rel & 15
             ptex_ref[:] = cache[27]
             pnm_ref[:] = cache[28]
+            if tex_out >= 2:
+                # true atlas indices for the record path (the replay
+                # backward's texel-cotangent fold): same staircase as the
+                # XLA shading._texel_xy path (integrator record branch)
+                xt, yt = _staircase(uq, vq, sx, sy, cache[30], cache[31])
+                it = cache[29].astype(jnp.int32) \
+                    + yt * cache[30].astype(jnp.int32) + xt
+                idxt_ref[:] = jnp.clip(it, 0, p_tex - 1)
+                xn, yn = _staircase(uq, vq, sx, sy, cache[33], cache[34])
+                inn = cache[32].astype(jnp.int32) \
+                    + yn * cache[33].astype(jnp.int32) + xn
+                idxn_ref[:] = jnp.clip(inn, 0, p_nm - 1)
         px_ref[:] = jnp.where(is_q, pqx, psx)
         py_ref[:] = jnp.where(is_q, pqy, psy)
         pz_ref[:] = jnp.where(is_q, pqz, psz)
@@ -350,10 +377,12 @@ def first_hits(scene, o, d, time, t_mesh, tri_mesh, live=None, eps=1e-5,
     hits (traverse kernel outputs; pass empty [0, N] when no meshes).
     Returns dict(j [-1=miss], tid, mid, p, n, u, v, tan, bitan) — p/n/u/v
     valid for sphere/quad winners (mesh detail is re-derived in XLA).
-    `tex_out=True` (static; requires scene.pair_mode and not
-    scene.sphere_uv_needed) additionally returns the pair-atlas texel
-    index record (row, sub, ptex, pnm) computed in-kernel for quad
-    winners — the input of the fused-bounce pair gather.
+    `tex_out` (static int; requires scene.pair_mode and not
+    scene.sphere_uv_needed): level >= 1 additionally returns the
+    pair-atlas texel index record (row, sub, ptex, pnm) computed
+    in-kernel for quad winners — the input of the fused-bounce pair
+    gather; level >= 2 also returns the true atlas indices (idx_t,
+    idx_n) for the record path's texel-cotangent fold.
     Selection-only + detail record: non-differentiable (stop_gradient'ed);
     gradients flow through the XLA/replay re-derivation."""
     N = o[0].shape[0]
@@ -382,18 +411,21 @@ def first_hits(scene, o, d, time, t_mesh, tri_mesh, live=None, eps=1e-5,
     kern = functools.partial(_kernel, S=S, Q=Q,
                              S_real=min(scene.n_sph_real, S),
                              Q_real=min(scene.n_quad_real, Q),
-                             Nm=Nm, eps=float(eps), tex_out=tex_out)
+                             Nm=Nm, eps=float(eps), tex_out=int(tex_out),
+                             p_tex=scene.tex_data.shape[0],
+                             p_nm=scene.nm_data.shape[0])
     ray_spec = pl.BlockSpec((tr, kc.LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     f32 = jnp.float32
     i32 = jnp.int32
-    out_dtypes = [i32, i32, i32] + [f32] * 14 + [i32, i32, f32, f32]
+    out_dtypes = [i32, i32, i32] + [f32] * 14 + [i32, i32, f32, f32,
+                                                  i32, i32]
     outs = pl.pallas_call(
         kern,
         grid=(rows // tr,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
         + [ray_spec] * (8 + 2 * Nm),
-        out_specs=tuple([ray_spec] * 21),
+        out_specs=tuple([ray_spec] * 23),
         out_shape=tuple(jax.ShapeDtypeStruct((rows, kc.LANES), dt)
                         for dt in out_dtypes),
         interpret=kc.interpret(),
@@ -406,4 +438,6 @@ def first_hits(scene, o, d, time, t_mesh, tri_mesh, live=None, eps=1e-5,
                bitan=(f[14], f[15], f[16]))
     if tex_out:
         out.update(row=f[17], sub=f[18], ptex=f[19], pnm=f[20])
+    if int(tex_out) >= 2:
+        out.update(idx_t=f[21], idx_n=f[22])
     return out

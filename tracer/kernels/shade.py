@@ -88,7 +88,7 @@ def _normalize3(x, y, z):
 
 
 def _kernel(light_ref, misc_ref, *rest, S, Q, Nm, L, eps,
-            ref, has_pair, has_sky, last):
+            ref, has_pair, has_sky, last, rec_out):
     it = iter(rest)
     nxt = lambda: next(it)  # noqa: E731
     dx_ref, dy_ref, dz_ref = nxt(), nxt(), nxt()
@@ -117,6 +117,9 @@ def _kernel(light_ref, misc_ref, *rest, S, Q, Nm, L, eps,
     if L > 0:
         sh_ref = nxt()
     outs = list(it)
+    if rec_out:
+        (imx_ref, imy_ref, imz_ref, rnx_ref, rny_ref, rnz_ref) = outs[-6:]
+        outs = outs[:-6]
     if last:
         (oax_ref, oay_ref, oaz_ref) = outs
     else:
@@ -142,6 +145,9 @@ def _kernel(light_ref, misc_ref, *rest, S, Q, Nm, L, eps,
         t2y_ref[:] = ty_ref[:]
         t2z_ref[:] = tz_ref[:]
         av2_ref[:] = jnp.zeros(av.shape, jnp.float32)
+    if rec_out:
+        for r in (imx_ref, imy_ref, imz_ref, rnx_ref, rny_ref, rnz_ref):
+            r[:] = jnp.zeros(av.shape, jnp.float32)
 
     @pl.when(jnp.sum(av) > 0.0)
     def _():
@@ -203,6 +209,10 @@ def _kernel(light_ref, misc_ref, *rest, S, Q, Nm, L, eps,
         on = jnp.where(same8, 0.0, 1.0)  # magenta (Material.cpp:74-81)
         if has_pair:
             imx, imy, imz = _dec(vt_ref[:])
+            if rec_out:
+                imx_ref[:] = imx
+                imy_ref[:] = imy
+                imz_ref[:] = imz
             present = ptex_ref[:] > 0.5
             fbx = jnp.where(present, imx, on)
             fby = jnp.where(present, imy, zero)
@@ -231,6 +241,10 @@ def _kernel(light_ref, misc_ref, *rest, S, Q, Nm, L, eps,
         # ---- normal mapping (squares only, Scene.h:284) -----------------
         if has_pair:
             rnx, rny, rnz = _dec(vn_ref[:])
+            if rec_out:
+                rnx_ref[:] = rnx
+                rny_ref[:] = rny
+                rnz_ref[:] = rnz
             nmxv = 2.0 * rnx - 1.0
             nmyv = 2.0 * rny - 1.0
             nmzv = 2.0 * rnz - 1.0
@@ -367,7 +381,7 @@ def _kernel(light_ref, misc_ref, *rest, S, Q, Nm, L, eps,
 
 def shade_scatter(scene, cfg, state, bkeys, k1, mat_rows, n_rem,
                   mesh_detail=None, sky=None, shadows=None, rows=None,
-                  last=False):
+                  last=False, rec_out=False):
     """Run the fused shade+scatter kernel over planar ray state.
 
     state: the integrator bounce-scan carry (o, d, time, throughput,
@@ -450,10 +464,12 @@ def shade_scatter(scene, cfg, state, bkeys, k1, mat_rows, n_rem,
         ins.append(shin)
         specs.append(shspec)
 
+    rec_out = rec_out and has_pair
     kern = functools.partial(
         _kernel, S=S, Q=Q, Nm=Nm, L=L, eps=float(cfg.epsilon),
-        ref=ref, has_pair=has_pair, has_sky=has_sky, last=last)
-    n_out = 3 if last else 13
+        ref=ref, has_pair=has_pair, has_sky=has_sky, last=last,
+        rec_out=rec_out)
+    n_out = (3 if last else 13) + (6 if rec_out else 0)
     outs = pl.pallas_call(
         kern,
         grid=(n_rows // tr,),
@@ -465,12 +481,18 @@ def shade_scatter(scene, cfg, state, bkeys, k1, mat_rows, n_rem,
         interpret=kc.interpret(),
     )(sg(light_tab), sg(misc), *ins)
     f = [kc.from_tiles(x, N) for x in outs]
+    texrec = ((f[-6], f[-5], f[-4]), (f[-3], f[-2], f[-1])) \
+        if rec_out else None
     if last:
-        return (f[0], f[1], f[2])
-    return dict(
-        o=(f[0], f[1], f[2]), d=(f[3], f[4], f[5]),
-        time=state["time"],
-        throughput=(f[6], f[7], f[8]),
-        acc=(f[9], f[10], f[11]),
-        active=f[12] > 0.5,
-    )
+        out = (f[0], f[1], f[2])
+    else:
+        out = dict(
+            o=(f[0], f[1], f[2]), d=(f[3], f[4], f[5]),
+            time=state["time"],
+            throughput=(f[6], f[7], f[8]),
+            acc=(f[9], f[10], f[11]),
+            active=f[12] > 0.5,
+        )
+    if rec_out:
+        return out, texrec
+    return out

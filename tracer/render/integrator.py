@@ -151,6 +151,17 @@ def _geo_packs(scene):
     return sph, quad, matf, mati
 
 
+def _decode_word_p(v):
+    """Packed-u32 texel word [N] i32 -> planar rgb, bit-identical to
+    shading._packed_decode's tail and the shade kernel's in-VMEM decode
+    (byte -> f32 exact, times the same rounded f32(1/255) constant)."""
+    k = jnp.float32(1.0 / 255.0)
+    to = lambda c: c.astype(jnp.float32) * k  # noqa: E731
+    return (to(jax.lax.shift_right_logical(v, 16) & 0xFF),
+            to(jax.lax.shift_right_logical(v, 8) & 0xFF),
+            to(v & 0xFF))
+
+
 def _rows(table, idx):
     """Differentiable small-table row fetch as a one-hot MXU matmul.
 
@@ -304,13 +315,20 @@ def _gather_hit_p(scene, o, d, a2, time, j, tid, eps,
     raw_nm = npresent = None
     rec_idx_t = rec_idx_n = None
     if tex_saved is not None:
-        # REPLAY: the record pass already fetched these texels; re-enter
-        # them as constants whose custom VJP scatter-adds the cotangent
-        # onto the atlases at the recorded indices (shading.saved_texel).
+        # REPLAY: the record pass already fetched these texels; they
+        # re-enter as DIFFERENTIABLE replay inputs (split out by
+        # _rec_split_tex), and their cotangents are folded onto the
+        # atlases by ONE top-level scatter per atlas in _trace_cv_bwd.
         # The atlas gather — the measured per-bounce hot spot — never
         # runs in the differentiable replay, and neither do the texel
         # index staircases (idx has zero gradient through trunc anyway).
         simg, srnm, sidx_t, sidx_n, spres, snpres = tex_saved
+        # fused-path records carry the present masks as f32 (bool arrays
+        # scan-stack with a costly relayout); normalize to bool here
+        if spres.dtype != jnp.bool_:
+            spres = spres > 0.5
+        if snpres.dtype != jnp.bool_:
+            snpres = snpres > 0.5
         if has_tex or has_nm:
             img = simg
             present = spres
@@ -588,9 +606,10 @@ def _bounce_core(scene, cfg: RenderConfig, keys, state, b, saved=None,
 
     saved=(j_enc, tid, shadows, tex_rec): REPLAY -- skip the candidate
     argmin, the shadow search AND the atlas gathers; re-derive only the
-    selected hit differentiably, with recorded texels re-entering through
-    a scatter-add custom VJP (the backward of the render: custom VJP
-    below; SURVEY.md section 7).
+    selected hit differentiably. Recorded texel values enter as
+    differentiable replay inputs whose cotangents _trace_cv_bwd folds
+    onto the atlases with one top-level scatter per atlas (the backward
+    of the render: custom VJP below; SURVEY.md section 7).
 
     last=True (static): this is the final bounce, unrolled OUT of the
     lax.scan by the _trace_* drivers. Only `acc` of the returned state is
@@ -628,7 +647,7 @@ def _bounce_core(scene, cfg: RenderConfig, keys, state, b, saved=None,
     # routes textured-sphere scenes to the general path below).
     no_atlas = (scene.tex_data.shape[0] <= 1
                 and scene.nm_data.shape[0] <= 1)
-    fused = (saved is None and kernels_on and not with_rec
+    fused = (saved is None and kernels_on
              and not scene.sphere_uv_needed
              and ((scene.pair_mode and packed_on) or no_atlas))
     if fused:
@@ -649,7 +668,9 @@ def _bounce_core(scene, cfg: RenderConfig, keys, state, b, saved=None,
                 tri_raw = jnp.full((0, N0), -1, jnp.int32)
             k1 = kintersect.first_hits(scene, o, d, time, t_raw,
                                        tri_raw, live=active, eps=eps,
-                                       tex_out=use_pair)
+                                       tex_out=(0 if not use_pair
+                                                else (2 if with_rec
+                                                      else 1)))
         with jax.named_scope("shade_glue"):
             mat_rows = _rows(kshade.shade_mat_table(scene), k1["mid"])
             mesh_detail = None
@@ -688,12 +709,34 @@ def _bounce_core(scene, cfg: RenderConfig, keys, state, b, saved=None,
             out = kshade.shade_scatter(
                 scene, cfg, state, bkeys, k1, mat_rows,
                 jnp.asarray(n_rem), mesh_detail=mesh_detail, sky=sky,
-                shadows=shadows, rows=rows, last=last)
+                shadows=shadows, rows=rows, last=last,
+                rec_out=with_rec)
+        ktex = None
+        if with_rec and use_pair:
+            out, ktex = out
         if last:
             state = dict(state, acc=out)
         else:
             state = out
-        return state, occupancy, None
+        rec = None
+        if with_rec:
+            # per-bounce record for the replay backward: texels decoded
+            # inside the shade kernel (bit-identical to its in-VMEM use)
+            # plus the first-hit kernel's true atlas indices for the
+            # top-level cotangent fold. present masks ride as f32 (bool
+            # scan-stacking measured ~0.5 ms/sample of relayout).
+            N0 = zero.shape[0]
+            zi = jnp.zeros(N0, jnp.int32)
+            z3 = (zero, zero, zero)
+            if use_pair:
+                tex_rec = (ktex[0], ktex[1], k1["idx_t"], k1["idx_n"],
+                           k1["ptex"], k1["pnm"])
+            else:
+                tex_rec = (z3, z3, zi, zi, zero, zero)
+            shadows_y = (jnp.stack(shadows) if L > 0
+                         else jnp.zeros((0,) + zero.shape, jnp.float32))
+            rec = (k1["j"], k1["tid"], shadows_y, tex_rec)
+        return state, occupancy, rec
 
     k1 = None
     if saved is None:
@@ -881,6 +924,11 @@ def _trace_cv(scene, cfg: RenderConfig, o, d, time, keys):
 
 def _trace_cv_fwd(scene, cfg, o, d, time, keys):
     out, rec = _trace_record(scene, cfg, o, d, time, keys)
+    # Hard boundary between the record forward and the replay backward:
+    # letting XLA fuse across it measured 45 ms vs 25 ms for the composed
+    # fwd+bwd on Cornell (the scheduler interleaves the two scans into a
+    # pessimized soup). The barrier forces the residuals to materialize.
+    rec = jax.lax.optimization_barrier(rec)
     return out, (scene, o, d, time, keys, rec)
 
 
@@ -922,14 +970,27 @@ def _trace_cv_bwd(cfg, res, g):
     gscene, go, gd, gtime, gtex = vjp(g)
 
     def fold(data_g, idxs, gs):
+        # Flat scalar scatter: XLA-TPU scatters rows at ~40 ns/row but
+        # scalars at ~7 ns, so interleaving the 3 channels into one flat
+        # scatter halves the fold cost (benchmarks: 49 vs 100 ms at 2.46M
+        # updates).
         idx = jnp.concatenate([ix.reshape(-1) for ix in idxs])
-        upd = jnp.stack([jnp.concatenate([gg[a].reshape(-1) for gg in gs])
-                         for a in range(3)], axis=-1)
-        return data_g.at[idx].add(upd)
+        i3 = jnp.concatenate([idx * 3, idx * 3 + 1, idx * 3 + 2])
+        v3 = jnp.concatenate(
+            [jnp.concatenate([gg[a].reshape(-1) for gg in gs])
+             for a in range(3)])
+        return data_g.reshape(-1).at[i3].add(v3).reshape(data_g.shape)
 
     gimg, grnm = zip(*gtex)
     idx_t = [tr[3][0] for tr in skel]
     idx_n = [tr[3][1] for tr in skel]
+    # The last bounce's fetch is statically skipped when nothing can
+    # consume a texel there (integrator._bounce_core fetch_tex): its
+    # recorded indices/cotangents are structural zeros — drop them from
+    # the fold instead of scattering 409K zero updates.
+    if scene.light_pos.shape[0] == 0 and not scene.emissive_tex_image:
+        gimg, grnm = gimg[:-1], grnm[:-1]
+        idx_t, idx_n = idx_t[:-1], idx_n[:-1]
     if scene.tex_data.shape[0] > 1:
         gscene = dataclasses.replace(
             gscene, tex_data=fold(gscene.tex_data, idx_t, gimg))

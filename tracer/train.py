@@ -54,6 +54,8 @@ SCENE_FIELDS = ("sph_center", "sph_radius", "mat_diffuse", "mat_ior",
                 "quad_v0", "quad_er", "quad_eu")
 ATLAS_FIELDS = ("tex_data", "nm_data")
 CAM_FIELD = "cam_position"
+CAM_QUAT_FIELD = "cam_quaternion"
+CAM_FIELDS = (CAM_FIELD, CAM_QUAT_FIELD)
 
 
 def split_params(scene, camera: Camera, trainable: Sequence[str]):
@@ -62,21 +64,28 @@ def split_params(scene, camera: Camera, trainable: Sequence[str]):
     for k in trainable:
         if k == CAM_FIELD:
             params[k] = camera.position
+        elif k == CAM_QUAT_FIELD:
+            # raw 4-vector; generate_rays normalizes, so the optimizer can
+            # move it freely and the effective pose stays on SO(3)
+            params[k] = camera.quaternion
         elif k in SCENE_FIELDS:
             params[k] = getattr(scene, k)
         else:
             raise ValueError(
                 f"unknown trainable {k!r}; scene fields: {SCENE_FIELDS} "
-                f"or {CAM_FIELD}")
+                f"or camera fields: {CAM_FIELDS}")
     return params
 
 
 def apply_params(scene, camera: Camera, params: Dict):
     """(scene, camera) with `params` substituted."""
-    sfields = {k: v for k, v in params.items() if k != CAM_FIELD}
+    sfields = {k: v for k, v in params.items() if k not in CAM_FIELDS}
     scene = dataclasses.replace(scene, **sfields)
     if CAM_FIELD in params:
         camera = dataclasses.replace(camera, position=params[CAM_FIELD])
+    if CAM_QUAT_FIELD in params:
+        camera = dataclasses.replace(camera,
+                                     quaternion=params[CAM_QUAT_FIELD])
     return scene, camera
 
 
@@ -123,12 +132,48 @@ def _load_ckpt(path: str, params, opt_state):
     return step, jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+def make_step(opt, cfg: RenderConfig, target, width: int, height: int,
+              nsamples: int, mesh=None):
+    """Build the PURE (jittable) optimization step shared by fit() and
+    the sharded demo step (tracer/dist/sharding.train_step): L2 image
+    loss, value_and_grad over the trainable params, one optax update.
+
+    Returns step_fn(params, opt_state, scene, camera, pixel_ids,
+    base_key) -> (params, opt_state, loss, grad_norm)."""
+    from tracer.render.renderer import render_pixels
+    from tracer.dist.sharding import render_pixels_sharded
+
+    target = jnp.asarray(target, jnp.float32).reshape(-1, 3)
+
+    def loss_fn(params, scene, camera, pixel_ids, base_key):
+        s, c = apply_params(scene, camera, params)
+        if mesh is not None:
+            img = render_pixels_sharded(s, c, cfg, width, height,
+                                        pixel_ids, nsamples, base_key,
+                                        mesh)
+        else:
+            img = render_pixels(s, c, cfg, width, height, pixel_ids,
+                                nsamples, base_key) / nsamples
+        return jnp.mean((img - target) ** 2)
+
+    def step_fn(params, opt_state, scene, camera, pixel_ids, base_key):
+        loss, grads = jax.value_and_grad(loss_fn)(params, scene, camera,
+                                                  pixel_ids, base_key)
+        gnorm = optax.global_norm(grads)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, gnorm
+
+    return step_fn
+
+
 def fit(scene, camera: Camera, cfg: RenderConfig, target,
         trainable: Sequence[str], steps: int, lr: float = 1e-2,
         width: Optional[int] = None, height: Optional[int] = None,
         nsamples: Optional[int] = None, base_key=None,
         ckpt_dir: Optional[str] = None, ckpt_every: int = 10,
-        log: Optional[Callable[[str], None]] = None, mesh=None):
+        log: Optional[Callable[[str], None]] = None, mesh=None,
+        optimizer=None):
     """Optimize `trainable` so the render matches `target` [H, W, 3].
 
     Returns (scene, camera, history) — history is a list of per-step
@@ -149,27 +194,10 @@ def fit(scene, camera: Camera, cfg: RenderConfig, target,
     pixel_ids = jnp.arange(width * height, dtype=jnp.int32)
 
     params = split_params(scene, camera, trainable)
-    opt = optax.adam(lr)
+    opt = optimizer if optimizer is not None else optax.adam(lr)
     opt_state = opt.init(params)
-
-    def loss_fn(params, scene, camera, pixel_ids, base_key):
-        s, c = apply_params(scene, camera, params)
-        if mesh is not None:
-            img = render_pixels_sharded(s, c, cfg, width, height,
-                                        pixel_ids, nsamples, base_key, mesh)
-        else:
-            img = render_pixels(s, c, cfg, width, height, pixel_ids,
-                                nsamples, base_key) / nsamples
-        return jnp.mean((img - target) ** 2)
-
-    @jax.jit
-    def step_fn(params, opt_state, scene, camera, pixel_ids, base_key):
-        loss, grads = jax.value_and_grad(loss_fn)(params, scene, camera,
-                                                  pixel_ids, base_key)
-        gnorm = optax.global_norm(grads)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss, gnorm
+    step_fn = jax.jit(make_step(opt, cfg, target, width, height,
+                                nsamples, mesh))
 
     start = 0
     ckpt_path = None
