@@ -16,8 +16,18 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# Persistent XLA compilation cache (same discipline as tests/conftest.py):
+# the scan'd integrator costs minutes of compile per new (scene-shape,
+# config) pair; cache entries make every later CLI invocation on the same
+# pair start in seconds. Set BEFORE jax initializes.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/tracer-jax-cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 
 def _build(name: str, width: int, height: int, seed: int, cfg=None):
@@ -92,7 +102,69 @@ def cmd_probe(args):
     }))
 
 
+def _compile_stats(args):
+    """benchmark --compile: trace / lower / compile wall seconds for the
+    flagship frame chunk (render_pixels on the selected scene). With the
+    persistent compilation cache (wired above), the compile stage of a
+    previously-seen (scene-shape, config) pair is a cache hit."""
+    import jax
+    import jax.numpy as jnp
+    from tracer.core.config import RenderConfig
+    from tracer.kernels import common as kc
+    from tracer.render.camera import default_camera
+    from tracer.render.renderer import render_pixels
+
+    cfg = RenderConfig(width=args.width, height=args.height,
+                       max_bounces=args.bounces, compat=args.compat,
+                       seed=args.seed)
+    scene = _build(args.scene, args.width, args.height, args.seed, cfg)
+    cam = default_camera(aspect=args.width / args.height)
+    n_pix = args.width * args.height
+    n_pad = kc.pad_rows(n_pix)
+    pid = jnp.arange(n_pad, dtype=jnp.int32) % n_pix
+    key = jax.random.key(cfg.seed)
+    spp = args.spp
+
+    jf = jax.jit(
+        lambda s, c, p, k: jnp.mean(render_pixels(
+            s, c, cfg, args.width, args.height, p, spp, k)),
+    )
+    t0 = time.perf_counter()
+    traced = jf.trace(scene, cam, pid, key)
+    t_trace = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    lowered = traced.lower()
+    t_lower = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    compiled = lowered.compile()
+    t_compile = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    v = float(compiled(scene, cam, pid, key))
+    t_run = time.perf_counter() - t0
+    print(json.dumps({
+        "scene": args.scene,
+        "config": f"{args.width}x{args.height}@{spp}spp "
+                  f"b{cfg.max_bounces}",
+        "trace_s": round(t_trace, 3),
+        "lower_s": round(t_lower, 3),
+        "compile_s": round(t_compile, 3),
+        "first_run_s": round(t_run, 3),
+        "cache_dir": os.environ.get("JAX_COMPILATION_CACHE_DIR"),
+        # NOTE: populated on CPU; this environment's experimental 'axon'
+        # TPU tunnel does not serialize executables, so TPU compiles
+        # re-run per process (cache_entries stays 0 there)
+        "cache_entries": len(os.listdir(os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR", "/nonexistent"))
+            if os.path.isdir(os.environ.get(
+                "JAX_COMPILATION_CACHE_DIR", "/nonexistent")) else []),
+        "mean_radiance": v,
+        "device": str(jax.devices()[0]),
+    }))
+
+
 def cmd_benchmark(args):
+    if args.compile_stats:
+        return _compile_stats(args)
     if not (args.occupancy or args.profile):
         import bench
         bench.main()
@@ -347,6 +419,12 @@ def main(argv=None):
                        "--occupancy/--profile give per-bounce counters "
                        "and a jax.profiler trace for any scene")
     common(b)
+    b.add_argument("--spp", type=int, default=16)
+    b.add_argument("--compile", dest="compile_stats",
+                   action="store_true",
+                   help="report trace/lower/compile seconds for the "
+                        "flagship frame (persistent cache makes later "
+                        "runs start warm)")
     b.add_argument("--occupancy", action="store_true",
                    help="report per-bounce active-lane occupancy + rays/s")
     b.add_argument("--profile", default=None, metavar="DIR",

@@ -54,6 +54,12 @@ class RenderConfig:
     # "off" = plain remat'd scan autodiff.
     custom_vjp: str = "on"
 
+    # Sorted ray queues for the BVH traversal kernel: "auto" buckets
+    # rays by direction octant + coarse position before the packet walk
+    # (coherent packets prune; measured 3.5x on backrooms_pool whose
+    # post-bounce rays are fully incoherent), "off" walks in ray order.
+    ray_sort: str = "auto"
+
     # Packed-u32 / pair-packed texture-atlas fast paths. The packed twins
     # encode the PRISTINE u8 atlases; an optimization loop that moves
     # tex_data/nm_data off the u8 grid must render with "off" (the exact
@@ -76,3 +82,5 @@ class RenderConfig:
         if self.packed_atlas not in ("auto", "off"):
             raise ValueError(
                 f"unknown packed_atlas mode: {self.packed_atlas!r}")
+        if self.ray_sort not in ("auto", "off"):
+            raise ValueError(f"unknown ray_sort mode: {self.ray_sort!r}")

@@ -252,10 +252,12 @@ def shadow_factors(scene, cfg, p, time, keys, eps, live=None):
     K = cfg.shadow_rays
     Nm = scene.mesh_mat.shape[0]
 
-    # Mesh scenes walk the BVH per (light, sample): keep packets small
-    # (8x128 rays) so the walk stays selective; scene-table-only kernels
-    # use big tiles (fewer grid steps / SMEM re-reads).
-    tr = 8 if Nm > 0 else kc.TILE_ROWS
+    # Mesh scenes walk the BVH per (light, sample): 32x128-ray packets
+    # amortize the walk's per-node scalar overhead 4x better than the
+    # original 8x128 (same tuning as traverse.TILE — the walk is
+    # node-visit bound, and K shadow samples each re-walk the tree);
+    # scene-table-only kernels use big tiles (fewer grid steps).
+    tr = 32 if Nm > 0 else kc.TILE_ROWS
     n_pad = kc.pad_rows(N, tr)
     rows = n_pad // kc.LANES
     sg = jax.lax.stop_gradient

@@ -183,6 +183,66 @@ def _rows_i(table_i32, idx):
     return out.astype(jnp.int32)
 
 
+def _mesh_hits_sorted(scene, o, d, active):
+    """BVH packet traversal over a SORTED ray queue (SURVEY §7 "sorted/
+    compacted ray queues"): rays are bucketed by direction octant + a
+    coarse 8^3 position grid over the mesh bounds, so each kernel packet
+    walks a coherent subtree instead of the whole preorder. Measured on
+    backrooms_pool (enclosed, fully-incoherent after bounce 1) the walk
+    dominates the bounce; sorting trades ~2 argsorts + 3 row gathers
+    (~0.8 + 3x0.9 ms at 850x480) for near-primary walk coherence.
+
+    Returns (t_raw [Nm, N], tri_raw [Nm, N]) in the ORIGINAL ray order —
+    selection-only, bit-identical to the unsorted walk (the walk visits a
+    superset of nodes per packet either way; per-lane results depend only
+    on the lane's own ray)."""
+    from tracer.kernels import traverse as ktraverse
+    Nm = scene.mesh_mat.shape[0]
+    roots = jnp.asarray(scene.mesh_root, jnp.int32)
+    lo = jnp.min(scene.bvh_lo[roots], axis=0)
+    hi = jnp.max(scene.bvh_hi[roots], axis=0)
+    inv_ext = 7.999 / jnp.maximum(hi - lo, 1e-6)
+    sg = jax.lax.stop_gradient
+
+    def bucket(c, lo_c, inv_c):
+        q = jnp.clip((sg(c) - lo_c) * inv_c, 0.0, 7.999)
+        return q.astype(jnp.int32)
+
+    octant = ((sg(d[0]) < 0).astype(jnp.int32)
+              + 2 * (sg(d[1]) < 0).astype(jnp.int32)
+              + 4 * (sg(d[2]) < 0).astype(jnp.int32))
+    pos = (bucket(o[0], lo[0], inv_ext[0]) * 64
+           + bucket(o[1], lo[1], inv_ext[1]) * 8
+           + bucket(o[2], lo[2], inv_ext[2]))
+    key = octant * 512 + pos
+    key = jnp.where(active, key, jnp.int32(1 << 20))  # dead lanes last
+    order = jnp.argsort(key)
+    inv_order = jnp.argsort(order)
+
+    # permute rays with ONE wide row gather (planar per-component gathers
+    # hit XLA's slow width-1 path); dead lanes sorted last, so the live
+    # mask of the sorted queue is a prefix predicate — no gather needed
+    rays8 = jnp.stack([sg(o[0]), sg(o[1]), sg(o[2]),
+                       sg(d[0]), sg(d[1]), sg(d[2]),
+                       jnp.zeros_like(o[0]), jnp.zeros_like(o[0])],
+                      axis=1)[order]
+    o_s = (rays8[:, 0], rays8[:, 1], rays8[:, 2])
+    d_s = (rays8[:, 3], rays8[:, 4], rays8[:, 5])
+    n_live = jnp.sum(jnp.where(active, 1, 0))
+    lv_s = jnp.arange(order.shape[0], dtype=jnp.int32) < n_live
+    t_s, tri_s = ktraverse.mesh_closest_hits(scene, o_s, d_s, live=lv_s)
+    # one wide row gather un-permutes both outputs (width < 8 gathers hit
+    # XLA's slow per-element path; tri ids are < 2^24, exact in f32)
+    both = jnp.concatenate([t_s, tri_s.astype(jnp.float32)], axis=1)
+    pad = (-both.shape[1]) % 8
+    if pad:
+        both = jnp.pad(both, ((0, 0), (0, pad)))
+    both = both[inv_order]
+    t_raw = both[:, :Nm].T                                    # [Nm, N]
+    tri_raw = both[:, Nm:2 * Nm].astype(jnp.int32).T
+    return t_raw, tri_raw
+
+
 def _mesh_detail_p(scene, o, d, j, tid):
     """Differentiable mesh-hit detail: barycentric position/normal via the
     SHARED vertex table (so vertex grads scatter-add onto mesh_verts) and
@@ -659,9 +719,14 @@ def _bounce_core(scene, cfg: RenderConfig, keys, state, b, saved=None,
                     and scene.pair_pack.shape[0] > 1)
         with jax.named_scope("traverse"):
             if Nm > 0:
-                from tracer.kernels import traverse as ktraverse
-                t_raw, tri_raw = ktraverse.mesh_closest_hits(scene, o, d)
-                t_raw, tri_raw = t_raw.T, tri_raw.T            # [Nm, N]
+                if cfg.ray_sort != "off":
+                    t_raw, tri_raw = _mesh_hits_sorted(scene, o, d,
+                                                       active)
+                else:
+                    from tracer.kernels import traverse as ktraverse
+                    t_raw, tri_raw = ktraverse.mesh_closest_hits(
+                        scene, o, d, live=active)
+                    t_raw, tri_raw = t_raw.T, tri_raw.T        # [Nm, N]
             else:
                 N0 = o[0].shape[0]
                 t_raw = jnp.full((0, N0), INF)
@@ -749,8 +814,8 @@ def _bounce_core(scene, cfg: RenderConfig, keys, state, b, saved=None,
             with jax.named_scope("traverse"):
                 if Nm > 0:
                     from tracer.kernels import traverse as ktraverse
-                    t_raw, tri_raw = ktraverse.mesh_closest_hits(scene,
-                                                                 o, d)
+                    t_raw, tri_raw = ktraverse.mesh_closest_hits(
+                        scene, o, d, live=active)
                     t_raw, tri_raw = t_raw.T, tri_raw.T        # [Nm, N]
                 else:
                     N0 = o[0].shape[0]
