@@ -151,17 +151,6 @@ def _geo_packs(scene):
     return sph, quad, matf, mati
 
 
-def _decode_word_p(v):
-    """Packed-u32 texel word [N] i32 -> planar rgb, bit-identical to
-    shading._packed_decode's tail and the shade kernel's in-VMEM decode
-    (byte -> f32 exact, times the same rounded f32(1/255) constant)."""
-    k = jnp.float32(1.0 / 255.0)
-    to = lambda c: c.astype(jnp.float32) * k  # noqa: E731
-    return (to(jax.lax.shift_right_logical(v, 16) & 0xFF),
-            to(jax.lax.shift_right_logical(v, 8) & 0xFF),
-            to(v & 0xFF))
-
-
 def _rows(table, idx):
     """Differentiable small-table row fetch as a one-hot MXU matmul.
 
@@ -788,19 +777,23 @@ def _bounce_core(scene, cfg: RenderConfig, keys, state, b, saved=None,
             # per-bounce record for the replay backward: texels decoded
             # inside the shade kernel (bit-identical to its in-VMEM use)
             # plus the first-hit kernel's true atlas indices for the
-            # top-level cotangent fold. present masks ride as f32 (bool
-            # scan-stacking measured ~0.5 ms/sample of relayout).
+            # top-level cotangent fold. PACKED into two stacked arrays:
+            # every separate scan Y-output measured ~0.1 ms/bounce of
+            # per-output overhead (12 outputs cost 3.1 ms/sample).
             N0 = zero.shape[0]
             zi = jnp.zeros(N0, jnp.int32)
-            z3 = (zero, zero, zero)
             if use_pair:
-                tex_rec = (ktex[0], ktex[1], k1["idx_t"], k1["idx_n"],
-                           k1["ptex"], k1["pnm"])
+                (imx, imy, imz), (rnx, rny, rnz) = ktex
+                reci = jnp.stack([k1["j"], k1["tid"], k1["idx_t"],
+                                  k1["idx_n"]])
+                recf = jnp.stack([imx, imy, imz, rnx, rny, rnz,
+                                  k1["ptex"], k1["pnm"]])
             else:
-                tex_rec = (z3, z3, zi, zi, zero, zero)
+                reci = jnp.stack([k1["j"], k1["tid"], zi, zi])
+                recf = jnp.zeros((8,) + zero.shape, jnp.float32)
             shadows_y = (jnp.stack(shadows) if L > 0
                          else jnp.zeros((0,) + zero.shape, jnp.float32))
-            rec = (k1["j"], k1["tid"], shadows_y, tex_rec)
+            rec = (reci, recf, shadows_y)
         return state, occupancy, rec
 
     k1 = None
@@ -843,7 +836,11 @@ def _bounce_core(scene, cfg: RenderConfig, keys, state, b, saved=None,
             else:
                 tid = jnp.zeros_like(j)
     else:
-        j_enc, tid, shadows_saved, tex_saved = saved
+        reci_s, recf_s, shadows_saved = saved
+        j_enc, tid = reci_s[0], reci_s[1]
+        tex_saved = ((recf_s[0], recf_s[1], recf_s[2]),
+                     (recf_s[3], recf_s[4], recf_s[5]),
+                     reci_s[2], reci_s[3], recf_s[6], recf_s[7])
         miss = j_enc < 0
         j = jnp.maximum(j_enc, 0)
 
@@ -890,12 +887,16 @@ def _bounce_core(scene, cfg: RenderConfig, keys, state, b, saved=None,
         active=live,
         acc=acc,
     )
-    if saved is None:
+    if saved is None and with_rec:
         j_enc = jnp.where(miss, -1, j.astype(jnp.int32))
         shadows_y = (jnp.stack(shadows) if L > 0
                      else jnp.zeros((0,) + zero.shape, jnp.float32))
-        return state, occupancy, (j_enc, tid.astype(jnp.int32), shadows_y,
-                                  hit["tex_rec"])
+        img, rnm, it, inn, pres, npres = hit["tex_rec"]
+        reci = jnp.stack([j_enc, tid.astype(jnp.int32), it, inn])
+        recf = jnp.stack([img[0], img[1], img[2], rnm[0], rnm[1], rnm[2],
+                          jnp.where(pres, 1.0, 0.0),
+                          jnp.where(npres, 1.0, 0.0)])
+        return state, occupancy, (reci, recf, shadows_y)
     return state, occupancy, None
 
 
@@ -998,22 +999,19 @@ def _trace_cv_fwd(scene, cfg, o, d, time, keys):
 
 
 def _rec_split_tex(rec):
-    """Split the record into (texel values, skeleton): the values become
-    differentiable replay INPUTS so their cotangents surface as plain vjp
-    outputs; everything else stays a constant in the skeleton."""
-    texvals, skel = [], []
-    for j, t, sh, (img, rnm, it, inn, pres, npres) in rec:
-        texvals.append((img, rnm))
-        skel.append((j, t, sh, (it, inn, pres, npres)))
-    return tuple(texvals), tuple(skel)
+    """Split the record into (texel values, skeleton): the recf stacks
+    (texel values + present masks) become differentiable replay INPUTS so
+    their cotangents surface as plain vjp outputs; the integer record and
+    shadows stay constants in the skeleton. (The mask rows' cotangents
+    are discarded — masks only route selects.)"""
+    texvals = tuple(recf for _, recf, _ in rec)
+    skel = tuple((reci, sh) for reci, _, sh in rec)
+    return texvals, skel
 
 
 def _rec_join_tex(skel, texvals):
-    out = []
-    for (j, t, sh, (it, inn, pres, npres)), (img, rnm) in zip(skel,
-                                                              texvals):
-        out.append((j, t, sh, (img, rnm, it, inn, pres, npres)))
-    return tuple(out)
+    return tuple((reci, recf, sh)
+                 for (reci, sh), recf in zip(skel, texvals))
 
 
 def _trace_cv_bwd(cfg, res, g):
@@ -1046,9 +1044,10 @@ def _trace_cv_bwd(cfg, res, g):
              for a in range(3)])
         return data_g.reshape(-1).at[i3].add(v3).reshape(data_g.shape)
 
-    gimg, grnm = zip(*gtex)
-    idx_t = [tr[3][0] for tr in skel]
-    idx_n = [tr[3][1] for tr in skel]
+    gimg = [(g[..., 0, :], g[..., 1, :], g[..., 2, :]) for g in gtex]
+    grnm = [(g[..., 3, :], g[..., 4, :], g[..., 5, :]) for g in gtex]
+    idx_t = [reci[..., 2, :] for reci, _ in skel]
+    idx_n = [reci[..., 3, :] for reci, _ in skel]
     # The last bounce's fetch is statically skipped when nothing can
     # consume a texel there (integrator._bounce_core fetch_tex): its
     # recorded indices/cotangents are structural zeros — drop them from
