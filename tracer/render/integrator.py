@@ -697,7 +697,6 @@ def _bounce_core(scene, cfg: RenderConfig, keys, state, b, saved=None,
     no_atlas = (scene.tex_data.shape[0] <= 1
                 and scene.nm_data.shape[0] <= 1)
     fused = (saved is None and kernels_on
-             and not scene.sphere_uv_needed
              and ((scene.pair_mode and packed_on) or no_atlas))
     if fused:
         from tracer.kernels import intersect as kintersect
@@ -720,13 +719,53 @@ def _bounce_core(scene, cfg: RenderConfig, keys, state, b, saved=None,
                 N0 = o[0].shape[0]
                 t_raw = jnp.full((0, N0), INF)
                 tri_raw = jnp.full((0, N0), -1, jnp.int32)
-            k1 = kintersect.first_hits(scene, o, d, time, t_raw,
-                                       tri_raw, live=active, eps=eps,
-                                       tex_out=(0 if not use_pair
-                                                else (2 if with_rec
-                                                      else 1)))
+            sph_uv = scene.sphere_uv_needed
+            k1 = kintersect.first_hits(
+                scene, o, d, time, t_raw, tri_raw, live=active, eps=eps,
+                tex_out=(0 if (not use_pair or sph_uv)
+                         else (2 if with_rec else 1)))
         with jax.named_scope("shade_glue"):
             mat_rows = _rows(kshade.shade_mat_table(scene), k1["mid"])
+            if use_pair and sph_uv:
+                # textured-sphere scenes: sphere u/v need theta/phi
+                # (arccos/atan2 — no Mosaic lowering), so the texel
+                # indices are derived here in XLA with the SAME
+                # expressions as the general path (_gather_hit_p
+                # use_pair branch) and spliced into k1 for the gather,
+                # the shade kernel and the record.
+                n_sq = k1["n"]
+                is_sph = (k1["j"] >= 0) & (jnp.maximum(k1["j"], 0)
+                                           < scene.sph_center.shape[0])
+                theta = jnp.arccos(jnp.clip(-n_sq[1], -1.0 + 1e-7,
+                                            1.0 - 1e-7))
+                phi = jnp.arctan2(-n_sq[2], n_sq[0] + 1e-20) + jnp.pi
+                u_tex = jnp.where(is_sph, phi / (2.0 * jnp.pi), k1["u"])
+                v_tex = jnp.where(is_sph, theta / jnp.pi, k1["v"])
+                mri = _rows_i(_geo_packs(scene)[3], k1["mid"])
+                sx = mat_rows[:, 18]
+                sy = mat_rows[:, 19]
+                xa, ya = shading._texel_xy(mri[:, 9], mri[:, 10],
+                                           u_tex, v_tex, sx, sy)
+                xb, yb = shading._texel_xy(mri[:, 11], mri[:, 12],
+                                           u_tex, v_tex, sx, sy)
+                wc = mri[:, 9] + jnp.maximum(mri[:, 11] - 1, 0)
+                rel = (ya + yb) * wc + xa + xb
+                k1 = dict(k1, u=u_tex, v=v_tex,
+                          row=mri[:, 13] + rel // shading.PACK_BLOCK,
+                          sub=rel % shading.PACK_BLOCK,
+                          ptex=jnp.where(mri[:, 14] > 0, 1.0, 0.0),
+                          pnm=jnp.where(mri[:, 15] > 0, 1.0, 0.0))
+                if with_rec:
+                    xt, yt = shading._texel_xy(mri[:, 2], mri[:, 3],
+                                               u_tex, v_tex, sx, sy)
+                    xn, yn = shading._texel_xy(mri[:, 5], mri[:, 6],
+                                               u_tex, v_tex, sx, sy)
+                    k1 = dict(
+                        k1,
+                        idx_t=jnp.clip(mri[:, 1] + yt * mri[:, 2] + xt,
+                                       0, scene.tex_data.shape[0] - 1),
+                        idx_n=jnp.clip(mri[:, 4] + yn * mri[:, 5] + xn,
+                                       0, scene.nm_data.shape[0] - 1))
             mesh_detail = None
             p_hit = k1["p"]
             if Nm > 0:
