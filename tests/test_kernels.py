@@ -236,3 +236,49 @@ def test_packed_atlas_bit_parity_and_grads():
     g2 = jax.grad(loss)(scene.tex_data, cfg_on)
     assert int(jnp.sum(jnp.any(g1 != 0, -1))) > 0
     np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+
+
+def test_sorted_ray_queue_parity():
+    """cfg.ray_sort: the direction-octant + position-bucket sorted walk
+    must return the same radiance as the in-order walk (the walk visits a
+    superset of nodes per packet either way; per-lane results depend only
+    on the lane's own ray)."""
+    from tracer.scenes import zoo as _zoo
+
+    scene = compile_scene(_zoo.setup_mesh())
+    o, d, time, keys = _rays(96)
+    cfg_sorted = RenderConfig(shadow_rays=2, max_bounces=3, kernels="on",
+                              ray_sort="auto")
+    cfg_plain = dataclasses.replace(cfg_sorted, ray_sort="off")
+    r_s = integrator.trace(scene, cfg_sorted, o, d, time, keys)
+    r_p = integrator.trace(scene, cfg_plain, o, d, time, keys)
+    np.testing.assert_allclose(np.asarray(r_s), np.asarray(r_p),
+                               atol=2e-5, rtol=0)
+
+
+def test_sphere_uv_fused_path_parity():
+    """Textured-sphere scenes ride the fused kernel path through an XLA
+    sphere-UV splice; radiance and record-path gradients must match the
+    jnp path."""
+    from tracer.scenes import zoo as _zoo
+
+    scene = compile_scene(_zoo.setup_rt_in_a_weekend())
+    assert scene.sphere_uv_needed and scene.pair_mode
+    o, d, time, keys = _rays(96)
+    cfg_on = RenderConfig(shadow_rays=2, max_bounces=3, kernels="on")
+    cfg_off = dataclasses.replace(cfg_on, kernels="off")
+    r_on = integrator.trace(scene, cfg_on, o, d, time, keys)
+    r_off = integrator.trace(scene, cfg_off, o, d, time, keys)
+    np.testing.assert_allclose(np.asarray(r_on), np.asarray(r_off),
+                               atol=2e-5, rtol=0)
+
+    def loss(tex, cfg):
+        s = dataclasses.replace(scene, tex_data=tex)
+        return jnp.sum(integrator.trace(s, cfg, o, d, time, keys))
+
+    g_on = jax.grad(loss)(scene.tex_data, cfg_on)
+    g_off = jax.grad(loss)(
+        scene.tex_data, dataclasses.replace(cfg_off, packed_atlas="off"))
+    assert np.abs(np.asarray(g_on)).max() > 0
+    np.testing.assert_allclose(np.asarray(g_on), np.asarray(g_off),
+                               atol=2e-5, rtol=1e-4)
