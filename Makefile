@@ -1,10 +1,10 @@
 # Developer / CI entry points (SURVEY.md §5 sanitizers & CI plan).
 #
 # Tiers (VERDICT r2 #10 — expected wall times on this box's CPU):
-#   make ci-fast  (~3 min)  red-flag layers: math/primitives/RNG twins,
+#   make ci-fast  (~10 min) red-flag layers: math/primitives/RNG twins,
 #                 kernel parity (incl. goldens) under JAX_DEBUG_NANS +
 #                 jax_enable_checks — any NaN anywhere in fwd/bwd raises.
-#   make ci       (~15 min) ci-fast + the full suite on the virtual
+#   make ci       (~30 min) ci-fast + the full suite on the virtual
 #                 8-device CPU mesh (dist, multiprocess, grads, train).
 #   nightly: statistical-parity runs live in the full suite; run
 #                 `pytest tests/test_statistical_parity.py` standalone.
