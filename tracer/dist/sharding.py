@@ -118,10 +118,10 @@ def train_step(scene, camera: Camera, cfg: RenderConfig, width: int,
                height: int, pixel_ids, target, nsamples: int, base_key,
                mesh: Mesh, lr: float = 1e-2):
     """One differentiable-rendering optimization step over the device
-    mesh — a thin delegation to the PRODUCT optimization loop
-    (`tracer.train.fit` with the mesh plumbed through), so the sharded
-    path exercises the same parameter handling, stale-pack guard and
-    optimizer machinery as single-chip training. Gradients cross the mesh
+    mesh — a thin delegation to the product training machinery
+    (`tracer.train.make_step`, the same pure step `fit()` jits), so the
+    sharded path exercises the same parameter handling, stale-pack guard
+    and optimizer plumbing as single-chip training. Jittable. Gradients cross the mesh
     via the psums autodiff inserts for the shard_map — the TPU-native
     equivalent of an all-reduce over scanline workers.
 
