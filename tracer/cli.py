@@ -60,7 +60,8 @@ def cmd_render(args):
                        height=args.height, max_bounces=args.bounces,
                        shadow_rays=args.shadow_rays, compat=args.compat,
                        seed=args.seed, bvh_leaf_size=args.bvh_leaf,
-                       bvh_max_depth=args.bvh_depth)
+                       bvh_max_depth=args.bvh_depth,
+                       ray_sort=args.ray_sort)
     scene = _build(args.scene, args.width, args.height, args.seed, cfg)
     cam = default_camera(aspect=args.width / args.height)
     t0 = time.perf_counter()
@@ -84,7 +85,8 @@ def cmd_probe(args):
 
     cfg = RenderConfig(max_bounces=args.bounces, compat=args.compat,
                        seed=args.seed, bvh_leaf_size=args.bvh_leaf,
-                       bvh_max_depth=args.bvh_depth)
+                       bvh_max_depth=args.bvh_depth,
+                       ray_sort=args.ray_sort)
     scene = _build(args.scene, args.width, args.height, args.seed, cfg)
     cam = default_camera(aspect=args.width / args.height)
     u = jnp.asarray([args.x / args.width], jnp.float32)
@@ -181,7 +183,8 @@ def cmd_benchmark(args):
     cfg = RenderConfig(width=args.width, height=args.height,
                        max_bounces=args.bounces, compat=args.compat,
                        seed=args.seed, bvh_leaf_size=args.bvh_leaf,
-                       bvh_max_depth=args.bvh_depth)
+                       bvh_max_depth=args.bvh_depth,
+                       ray_sort=args.ray_sort)
     scene = _build(args.scene, args.width, args.height, args.seed, cfg)
     cam = default_camera(aspect=args.width / args.height)
     n = args.width * args.height
@@ -334,7 +337,8 @@ def cmd_train(args):
                        height=args.height, max_bounces=args.bounces,
                        shadow_rays=args.shadow_rays, compat=args.compat,
                        seed=args.seed, bvh_leaf_size=args.bvh_leaf,
-                       bvh_max_depth=args.bvh_depth)
+                       bvh_max_depth=args.bvh_depth,
+                       ray_sort=args.ray_sort)
     scene = _build(args.scene, args.width, args.height, args.seed, cfg)
     cam = default_camera(aspect=args.width / args.height)
     trainable = [t.strip() for t in args.train.split(",") if t.strip()]
@@ -395,6 +399,10 @@ def main(argv=None):
                         help="BVH leaf width (triangles per leaf)")
         sp.add_argument("--bvh-depth", type=int, default=64,
                         dest="bvh_depth", help="BVH max depth")
+        sp.add_argument("--ray-sort", default="auto", dest="ray_sort",
+                        choices=["auto", "off"],
+                        help="sorted ray queues for the BVH traversal "
+                             "kernel (coherent packets; bit-identical)")
 
     r = sub.add_parser("render", help="ray trace a scene to an image")
     common(r)
