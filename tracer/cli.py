@@ -51,9 +51,41 @@ def _build(name: str, width: int, height: int, seed: int, cfg=None):
     return compile_scene(sb, **kw)
 
 
+def _camera(args):
+    """Camera from the pose flags (default: the reference app's startup
+    pose — eye (0,0,6.1), identity orientation, fov 45, main.cpp:418 /
+    Camera.cpp:24-37). `--cam-pos/--cam-quat/--look-at/--fov` reach any
+    trackball pose the reference UI could produce (Camera.cpp:41-132)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from tracer.render.camera import default_camera, look_at_quaternion
+
+    def vec(s, n, name):
+        parts = [float(x) for x in s.split(",")]
+        if len(parts) != n:
+            raise SystemExit(f"--{name} wants {n} comma-separated floats")
+        return jnp.asarray(parts, jnp.float32)
+
+    cam = default_camera(aspect=args.width / args.height)
+    if args.cam_pos:
+        cam = dataclasses.replace(cam,
+                                  position=vec(args.cam_pos, 3, "cam-pos"))
+    if args.cam_quat and args.look_at:
+        raise SystemExit("--cam-quat and --look-at are exclusive")
+    if args.cam_quat:
+        q = vec(args.cam_quat, 4, "cam-quat")
+        cam = dataclasses.replace(
+            cam, quaternion=q / jnp.maximum(jnp.linalg.norm(q), 1e-20))
+    if args.look_at:
+        cam = dataclasses.replace(cam, quaternion=look_at_quaternion(
+            cam.position, vec(args.look_at, 3, "look-at")))
+    if args.fov is not None:
+        cam = dataclasses.replace(cam, fov_deg=jnp.float32(args.fov))
+    return cam
+
+
 def cmd_render(args):
     from tracer.core.config import RenderConfig
-    from tracer.render.camera import default_camera
     from tracer.render.renderer import render_image
 
     cfg = RenderConfig(nsamples=args.spp, width=args.width,
@@ -63,7 +95,7 @@ def cmd_render(args):
                        bvh_max_depth=args.bvh_depth,
                        ray_sort=args.ray_sort)
     scene = _build(args.scene, args.width, args.height, args.seed, cfg)
-    cam = default_camera(aspect=args.width / args.height)
+    cam = _camera(args)
     t0 = time.perf_counter()
     render_image(scene, cam, cfg, args.out, progress=args.progress,
                  ckpt_dir=args.ckpt_dir, tile=args.tile)
@@ -81,14 +113,14 @@ def cmd_probe(args):
     from tracer.core import rng as trng
     from tracer.core.config import RenderConfig
     from tracer.render import integrator
-    from tracer.render.camera import default_camera, generate_rays
+    from tracer.render.camera import generate_rays
 
     cfg = RenderConfig(max_bounces=args.bounces, compat=args.compat,
                        seed=args.seed, bvh_leaf_size=args.bvh_leaf,
                        bvh_max_depth=args.bvh_depth,
                        ray_sort=args.ray_sort)
     scene = _build(args.scene, args.width, args.height, args.seed, cfg)
-    cam = default_camera(aspect=args.width / args.height)
+    cam = _camera(args)
     u = jnp.asarray([args.x / args.width], jnp.float32)
     v = jnp.asarray([args.y / args.height], jnp.float32)
     o, d = generate_rays(cam, u, v)
@@ -113,14 +145,13 @@ def _compile_stats(args):
     import jax.numpy as jnp
     from tracer.core.config import RenderConfig
     from tracer.kernels import common as kc
-    from tracer.render.camera import default_camera
     from tracer.render.renderer import render_pixels
 
     cfg = RenderConfig(width=args.width, height=args.height,
                        max_bounces=args.bounces, compat=args.compat,
                        seed=args.seed)
     scene = _build(args.scene, args.width, args.height, args.seed, cfg)
-    cam = default_camera(aspect=args.width / args.height)
+    cam = _camera(args)
     n_pix = args.width * args.height
     n_pad = kc.pad_rows(n_pix)
     pid = jnp.arange(n_pad, dtype=jnp.int32) % n_pix
@@ -178,7 +209,7 @@ def cmd_benchmark(args):
     from tracer.core import rng as trng
     from tracer.core.config import RenderConfig
     from tracer.render import integrator
-    from tracer.render.camera import default_camera, generate_rays
+    from tracer.render.camera import generate_rays
 
     cfg = RenderConfig(width=args.width, height=args.height,
                        max_bounces=args.bounces, compat=args.compat,
@@ -186,7 +217,7 @@ def cmd_benchmark(args):
                        bvh_max_depth=args.bvh_depth,
                        ray_sort=args.ray_sort)
     scene = _build(args.scene, args.width, args.height, args.seed, cfg)
-    cam = default_camera(aspect=args.width / args.height)
+    cam = _camera(args)
     n = args.width * args.height
     pid = jnp.arange(n, dtype=jnp.int32)
     keys = trng.ray_keys(jax.random.key(cfg.seed), pid)
@@ -329,7 +360,6 @@ def cmd_train(args):
     import numpy as np
     import jax.numpy as jnp
     from tracer.core.config import RenderConfig
-    from tracer.render.camera import default_camera
     from tracer.render.renderer import render_pixels
     from tracer import train as T
 
@@ -340,7 +370,7 @@ def cmd_train(args):
                        bvh_max_depth=args.bvh_depth,
                        ray_sort=args.ray_sort)
     scene = _build(args.scene, args.width, args.height, args.seed, cfg)
-    cam = default_camera(aspect=args.width / args.height)
+    cam = _camera(args)
     trainable = [t.strip() for t in args.train.split(",") if t.strip()]
 
     base_key = jax.random.key(cfg.seed)
@@ -403,6 +433,17 @@ def main(argv=None):
                         choices=["auto", "off"],
                         help="sorted ray queues for the BVH traversal "
                              "kernel (coherent packets; bit-identical)")
+        sp.add_argument("--cam-pos", default=None, metavar="X,Y,Z",
+                        help="camera position (default 0,0,6.1 — the "
+                             "reference app's startup pose)")
+        sp.add_argument("--cam-quat", default=None, metavar="W,X,Y,Z",
+                        help="camera orientation quaternion")
+        sp.add_argument("--look-at", default=None, metavar="X,Y,Z",
+                        help="aim the camera at this point "
+                             "(alternative to --cam-quat)")
+        sp.add_argument("--fov", type=float, default=None,
+                        help="vertical field of view in degrees "
+                             "(default 45, Camera.cpp:24)")
 
     r = sub.add_parser("render", help="ray trace a scene to an image")
     common(r)

@@ -61,6 +61,38 @@ def quat_to_matrix(q):
     ])
 
 
+def matrix_to_quat(R):
+    """Rotation matrix [3,3] -> unit quaternion (w,x,y,z). Shepperd's
+    branch-free form via the trace (host-side camera setup: small, exact
+    enough in f32 for pose control)."""
+    t = R[0, 0] + R[1, 1] + R[2, 2]
+    w = 0.5 * jnp.sqrt(jnp.maximum(1.0 + t, 1e-12))
+    k = 0.25 / jnp.maximum(w, 1e-12)
+    q = jnp.stack([w, k * (R[2, 1] - R[1, 2]), k * (R[0, 2] - R[2, 0]),
+                   k * (R[1, 0] - R[0, 1])])
+    return q / jnp.maximum(jnp.linalg.norm(q), 1e-20)
+
+
+def look_at_quaternion(position, target, up=(0.0, 1.0, 0.0)):
+    """Orientation quaternion so the camera at `position` looks at `target`
+    (camera forward = -z in camera space, matching generate_rays'
+    d_cam=(x,y,-1)). The trackball-free analog of the reference's pose
+    control (`/root/reference/src/Camera.cpp:41-132`, Trackball.cpp)."""
+    position = jnp.asarray(position, jnp.float32)
+    target = jnp.asarray(target, jnp.float32)
+    up = jnp.asarray(up, jnp.float32)
+    f = normalize(target - position)
+    r = jnp.cross(f, up)
+    # degenerate up || forward: pick any perpendicular right vector
+    r = jnp.where(jnp.linalg.norm(r) < 1e-8,
+                  jnp.cross(f, jnp.asarray([1.0, 0.0, 0.0], jnp.float32)),
+                  r)
+    r = normalize(r)
+    u2 = jnp.cross(r, f)
+    R = jnp.stack([r, u2, -f], axis=1)   # columns: right, up, -forward
+    return matrix_to_quat(R)
+
+
 def generate_rays(camera: Camera, u, v):
     """Screen (u, v) in [0,1]^2 (v down, as in trace_line main.cpp:189-190)
     -> world rays (origins [N,3], dirs [N,3])."""
