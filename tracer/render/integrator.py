@@ -237,18 +237,31 @@ def _mesh_detail_p(scene, o, d, j, tid):
     SHARED vertex table (so vertex grads scatter-add onto mesh_verts) and
     interpolated vertex/face colors (Scene.h:291-298). Returns planar
     (p_m, n_m, col_m, has_col). Callers pass any j/tid; non-mesh lanes
-    produce garbage that must be masked by an is_mesh select."""
-    tid = jnp.clip(tid, 0, scene.tri_a.shape[0] - 1)
-    vcols = vp.cols(scene.mesh_verts)
-    _, p_m, n_m, w0, w1, w2 = prim.triangle_hit_detail_planar(
-        o, d, vp.gather(vcols, scene.tri_va[tid]),
-        vp.gather(vcols, scene.tri_vb[tid]),
-        vp.gather(vcols, scene.tri_vc[tid]))
-    ca = vp.gather(vp.cols(scene.tri_col_a), tid)
-    cb = vp.gather(vp.cols(scene.tri_col_b), tid)
-    cc = vp.gather(vp.cols(scene.tri_col_c), tid)
-    col_m = tuple(w0 * ca[i] + w1 * cb[i] + w2 * cc[i] for i in range(3))
-    return p_m, n_m, col_m, scene.tri_has_col[tid]
+    produce garbage that must be masked by an is_mesh select.
+
+    Layout: ONE per-triangle packed row (3 verts + 3 colors + has_col,
+    padded to 24 f32 = gather-fast width) replaces 18 narrow per-column
+    gathers — those hit XLA's slow per-element path (~6.6 ns/elem), and
+    measured 34 ms/bounce on flamingo at 850x480 vs ~1 ms for the row
+    form. The [T, 24] pack is built from mesh_verts per frame (T-sized
+    gathers, hoisted out of the bounce scan), so vertex gradients still
+    scatter-add onto the SHARED mesh_verts table through the pack's vjp."""
+    tid = jnp.clip(tid, 0, scene.tri_va.shape[0] - 1)
+    pack = jnp.concatenate([
+        scene.mesh_verts[scene.tri_va],
+        scene.mesh_verts[scene.tri_vb],
+        scene.mesh_verts[scene.tri_vc],
+        scene.tri_col_a, scene.tri_col_b, scene.tri_col_c,
+        scene.tri_has_col[:, None]], axis=1)            # [T, 19]
+    pack = jnp.pad(pack, ((0, 0), (0, 24 - pack.shape[1])))
+    row = pack[tid]                                     # [N, 24]
+    a = (row[:, 0], row[:, 1], row[:, 2])
+    b = (row[:, 3], row[:, 4], row[:, 5])
+    c = (row[:, 6], row[:, 7], row[:, 8])
+    _, p_m, n_m, w0, w1, w2 = prim.triangle_hit_detail_planar(o, d, a, b, c)
+    col_m = tuple(w0 * row[:, 9 + i] + w1 * row[:, 12 + i]
+                  + w2 * row[:, 15 + i] for i in range(3))
+    return p_m, n_m, col_m, row[:, 18]
 
 
 def _gather_hit_p(scene, o, d, a2, time, j, tid, eps,
@@ -512,10 +525,74 @@ def _shadow_factors_all(scene, cfg: RenderConfig, p, time, keys, eps,
     from tracer.kernels import common as kcommon
     if kcommon.use_kernels(cfg):
         from tracer.kernels import shadow as kshadow
+        if scene.mesh_mat.shape[0] > 0 and cfg.ray_sort != "off":
+            return _shadow_factors_sorted(scene, cfg, p, time, keys, eps,
+                                          live)
         return kshadow.shadow_factors(scene, cfg, p, time, keys, eps,
                                       live=live)
     return [_shadow_factor_jnp(scene, cfg, p, time, keys, eps, i)
             for i in range(L)]
+
+
+def _shadow_factors_sorted(scene, cfg: RenderConfig, p, time, keys, eps,
+                           live):
+    """Position-sorted shadow dispatch for mesh scenes.
+
+    The shadow walk is LEAF-visit bound: a (32x128)-lane packet of
+    scattered hit points shooting at one light covers the whole scene, so
+    its union cone visits most of the BVH every bounce. Bucketing the hit
+    points on a 16^3 grid (dead lanes last) gives each packet a tight
+    origin cluster -> narrow cone toward the light -> real pruning, and
+    groups dead lanes into whole skippable tiles. Selection is per-lane,
+    so sort + unsort is bit-identical to the unsorted dispatch (same
+    argsort trick as _mesh_hits_sorted)."""
+    from tracer.kernels import shadow as kshadow
+    sg = jax.lax.stop_gradient
+    N = p[0].shape[0]
+    roots = jnp.asarray(scene.mesh_root, jnp.int32)
+    lo = jnp.min(scene.bvh_lo[roots], axis=0)
+    hi = jnp.max(scene.bvh_hi[roots], axis=0)
+    inv_ext = 15.999 / jnp.maximum(hi - lo, 1e-6)
+
+    def bucket(c, lo_c, inv_c):
+        q = jnp.clip((sg(c) - lo_c) * inv_c, 0.0, 15.999)
+        return q.astype(jnp.int32)
+
+    key = (bucket(p[0], lo[0], inv_ext[0]) * 256
+           + bucket(p[1], lo[1], inv_ext[1]) * 16
+           + bucket(p[2], lo[2], inv_ext[2]))
+    lv = live if live is not None else jnp.ones(N, bool)
+    key = jnp.where(lv, key, jnp.int32(1 << 20))
+    order = jnp.argsort(key)
+    inv_order = jnp.argsort(order)
+    zero = jnp.zeros_like(time)
+    # one wide row gather for all per-lane inputs (narrow gathers hit
+    # XLA's slow path); the PRNG keys ride as two exact 16-bit halves —
+    # a raw f32 bitcast of key bits can be a NaN pattern, which trips
+    # JAX_DEBUG_NANS in CI even though the gather never computes on it
+    ki = jax.lax.bitcast_convert_type(keys, jnp.uint32)
+    k_lo = (ki & jnp.uint32(0xFFFF)).astype(jnp.float32)
+    k_hi = jax.lax.shift_right_logical(
+        ki, jnp.uint32(16)).astype(jnp.float32)
+    pack = jnp.stack(
+        [sg(p[0]), sg(p[1]), sg(p[2]), sg(time), k_lo, k_hi,
+         zero, zero], axis=1)[order]
+    n_live = jnp.sum(jnp.where(lv, 1, 0))
+    lv_s = jnp.arange(N, dtype=jnp.int32) < n_live
+    p_s = (pack[:, 0], pack[:, 1], pack[:, 2])
+    keys_u = (pack[:, 4].astype(jnp.uint32)
+              | jax.lax.shift_left(pack[:, 5].astype(jnp.uint32),
+                                   jnp.uint32(16)))
+    keys_s = jax.lax.bitcast_convert_type(keys_u, keys.dtype)
+    outs = kshadow.shadow_factors(scene, cfg, p_s, pack[:, 3], keys_s,
+                                  eps, live=lv_s)
+    L = len(outs)
+    ostk = jnp.stack(outs, axis=1)
+    pad = (-L) % 8
+    if pad:
+        ostk = jnp.pad(ostk, ((0, 0), (0, pad)))
+    ostk = ostk[inv_order]
+    return [ostk[:, i] for i in range(L)]
 
 
 def _direct_lighting_p(scene, cfg: RenderConfig, p, n, transp, diffuse,
@@ -707,7 +784,12 @@ def _bounce_core(scene, cfg: RenderConfig, keys, state, b, saved=None,
                     and scene.pair_pack.shape[0] > 1)
         with jax.named_scope("traverse"):
             if Nm > 0:
-                if cfg.ray_sort != "off":
+                # sorting costs ~2 argsorts + 3 row gathers (~4.5 ms at
+                # 850x480); for SMALL trees the whole unsorted walk is
+                # cheaper than that (raccoon: 3.2 ms unsorted vs 8.0
+                # sorted), so only deep trees take the sorted queue
+                if (cfg.ray_sort != "off"
+                        and scene.bvh_lo.shape[0] >= 4096):
                     t_raw, tri_raw = _mesh_hits_sorted(scene, o, d,
                                                        active)
                 else:
@@ -976,22 +1058,43 @@ def _trace_scan(scene, cfg: RenderConfig, o, d, time, keys,
     return out
 
 
-def _trace_record(scene, cfg: RenderConfig, o, d, time, keys):
+def _trace_record(scene, cfg: RenderConfig, o, d, time, keys,
+                  with_states=False):
     """Forward pass that also returns the per-bounce discrete record:
-    (scan record for bounces 0..B-2, last-bounce record)."""
+    (scan record for bounces 0..B-2, last-bounce record).
+
+    with_states=True additionally records each bounce's INPUT state
+    (o, d, throughput, active) as one stacked [10, N] array per bounce —
+    the residuals the hand-written backward (render/replay_bwd.py) needs
+    so the backward is a single reverse sweep with no replay forward."""
     B = cfg.max_bounces
 
+    def st10(state):
+        return jnp.stack(list(state["o"]) + list(state["d"])
+                         + list(state["throughput"])
+                         + [jnp.where(state["active"], 1.0, 0.0)])
+
     def bounce(state, b):
+        y = (st10(state),) if with_states else ()
         state, _, rec = _bounce_core(scene, cfg, keys, state, b,
                                      with_rec=True)
-        return state, rec
+        return state, (rec,) + y
 
-    state, rec = jax.lax.scan(bounce, _init_state(o, d, time),
-                              jnp.arange(B - 1))
+    state, ys = jax.lax.scan(bounce, _init_state(o, d, time),
+                             jnp.arange(B - 1))
+    states = None
+    if with_states:
+        rec, st_scan = ys
+        states = (st_scan, st10(state))
+    else:
+        (rec,) = ys
     state, _, rec_last = _bounce_core(scene, cfg, keys, state,
                                       jnp.int32(B - 1), last=True,
                                       with_rec=True)
-    return _finish(state, cfg), (rec, rec_last)
+    out = _finish(state, cfg)
+    if with_states:
+        return out, (rec, rec_last), states
+    return out, (rec, rec_last)
 
 
 def _trace_replay(scene, cfg: RenderConfig, o, d, time, keys, rec):
@@ -1028,13 +1131,19 @@ def _trace_cv(scene, cfg: RenderConfig, o, d, time, keys):
 
 
 def _trace_cv_fwd(scene, cfg, o, d, time, keys):
+    from tracer.render import replay_bwd
+    if replay_bwd.hand_bwd_ok(scene, cfg):
+        out, rec, states = _trace_record(scene, cfg, o, d, time, keys,
+                                         with_states=True)
+        rec, states = jax.lax.optimization_barrier((rec, states))
+        return out, (scene, o, d, time, keys, rec, states)
     out, rec = _trace_record(scene, cfg, o, d, time, keys)
     # Hard boundary between the record forward and the replay backward:
     # letting XLA fuse across it measured 45 ms vs 25 ms for the composed
     # fwd+bwd on Cornell (the scheduler interleaves the two scans into a
     # pessimized soup). The barrier forces the residuals to materialize.
     rec = jax.lax.optimization_barrier(rec)
-    return out, (scene, o, d, time, keys, rec)
+    return out, (scene, o, d, time, keys, rec, None)
 
 
 def _rec_split_tex(rec):
@@ -1060,28 +1169,35 @@ def _trace_cv_bwd(cfg, res, g):
     are folded onto the atlases with ONE top-level scatter per atlas.
     Keeping the scatters out of the backward scan (a) lets XLA drop them
     entirely when the caller never uses the atlas gradients and (b) keeps
-    the [P,3] cotangent accumulators out of the scan carry."""
-    scene, o, d, time, keys, rec = res
+    the [P,3] cotangent accumulators out of the scan carry.
+
+    For the phase-1 scene class (replay_bwd.hand_bwd_ok) the vjp is
+    replaced by the HAND-WRITTEN reverse sweep (render/replay_bwd.py):
+    one reverse scan over bounces, no replay forward, no autodiff graph —
+    only the atlas fold below is shared."""
+    scene, o, d, time, keys, rec, states = res
     texvals0, skel = _rec_split_tex(rec)
 
-    def replay(scene, o, d, time, texvals):
-        return _trace_replay(scene, cfg, o, d, time, keys,
-                             _rec_join_tex(skel, texvals))
+    if states is not None:
+        from tracer.render import replay_bwd
+        gscene, go, gd, gtime, gtex = replay_bwd.replay_backward(
+            scene, cfg, o, d, time, keys, rec, states, g)
+    else:
+        def replay(scene, o, d, time, texvals):
+            return _trace_replay(scene, cfg, o, d, time, keys,
+                                 _rec_join_tex(skel, texvals))
 
-    _, vjp = jax.vjp(replay, scene, o, d, time, texvals0)
-    gscene, go, gd, gtime, gtex = vjp(g)
+        _, vjp = jax.vjp(replay, scene, o, d, time, texvals0)
+        gscene, go, gd, gtime, gtex = vjp(g)
 
     def fold(data_g, idxs, gs):
-        # Flat scalar scatter: XLA-TPU scatters rows at ~40 ns/row but
-        # scalars at ~7 ns, so interleaving the 3 channels into one flat
-        # scatter halves the fold cost (benchmarks: 49 vs 100 ms at 2.46M
-        # updates).
-        idx = jnp.concatenate([ix.reshape(-1) for ix in idxs])
-        i3 = jnp.concatenate([idx * 3, idx * 3 + 1, idx * 3 + 2])
-        v3 = jnp.concatenate(
-            [jnp.concatenate([gg[a].reshape(-1) for gg in gs])
-             for a in range(3)])
-        return data_g.reshape(-1).at[i3].add(v3).reshape(data_g.shape)
+        # Sorted Pallas segment fold on TPU (kernels/fold.py: ~8 ms vs
+        # ~41 ms for the flat XLA scatter at Cornell's 2M updates); flat
+        # interleaved scalar scatter elsewhere.
+        from tracer.kernels import common as kcommon
+        from tracer.kernels import fold as kfold
+        return kfold.fold_updates(data_g, idxs, gs,
+                                  kcommon.use_kernels(cfg))
 
     gimg = [(g[..., 0, :], g[..., 1, :], g[..., 2, :]) for g in gtex]
     grnm = [(g[..., 3, :], g[..., 4, :], g[..., 5, :]) for g in gtex]
