@@ -94,14 +94,16 @@ def _kernel(misc_ref, st_ref, j_ref, recf_ref, mr_ref, sr_ref, qr_ref,
             c_ref[26 + c] = gqr[c]
 
 
-def bounce_bwd_tiles(st10, j_enc, recf, mrf, mri, srow, qrow, bk, tm,
-                     go2, gd2, gtp2, gpix, n_rem, dark, *, S, Q, ref,
+def bounce_bwd_tiles(st10, j_enc, recf, mr21, srow, qrow, bk, tm,
+                     gcar, n_rem, dark, *, S, Q, ref,
                      eps, has_pair, last, interpret=None):
     """Run the bounce adjoint kernel over [*, N] stacked planar inputs.
 
-    mrf [N, 18] + mri columns (textype, mtype, use_nm as f32 [N] each)
-    ride together as one [21, N] block. Returns the same tuple layout as
-    replay_bwd.bounce_bwd (planar lists/tuples)."""
+    mr21 [21, N]: the 18 matf columns + (textype, mtype, use_nm) as f32;
+    srow [8, N], qrow [19, N]; gcar [12, N]: go2, gd2, gtp2, gpix — all
+    already planar-major (the driver's _rows_t fetches produce them with
+    no relayout). Returns the STACKED blocks (a [11, N], b [6, N],
+    c [45, N]) — see the module docstring for row layouts."""
     N = j_enc.shape[0]
     # 143 (tr,128) blocks live per grid step (81 in / 62 out, double
     # buffered): tr=128 needs 17.5 MB of VMEM and OOMs the 16 MB budget
@@ -110,36 +112,34 @@ def bounce_bwd_tiles(st10, j_enc, recf, mrf, mri, srow, qrow, bk, tm,
     rows = n_pad // kc.LANES
     sg = jax.lax.stop_gradient
 
-    def stk(arrs, fills=None):
-        K = len(arrs)
-        a = jnp.stack([kc.to_tiles(
-            sg(x), n_pad, 0.0 if fills is None else fills[i])
-            for i, x in enumerate(arrs)])
-        return a.reshape(K, rows, kc.LANES)
+    def stk2(a):
+        """[K, N] -> (K, rows, 128) block (pure pad + reshape)."""
+        a = sg(a)
+        if n_pad != N:
+            a = jnp.pad(a, ((0, 0), (0, n_pad - N)))
+        return a.reshape(a.shape[0], rows, kc.LANES)
 
     def spec(K):
         return pl.BlockSpec((K, tr, kc.LANES), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
 
-    # mrf [N,18] -> [18,N]; the three int material columns ride as f32
-    mr21 = jnp.concatenate([
-        sg(mrf).T, sg(mri[:, 0:1]).T.astype(jnp.float32),
-        sg(mri[:, 7:8]).T.astype(jnp.float32),
-        sg(mri[:, 8:9]).T.astype(jnp.float32)], axis=0)   # [21, N]
+    # pad d with 1.0: a zero direction makes a2 = d.d = 0 and the
+    # sphere-adjoint divisions spray inf/NaN over PADDED lanes —
+    # trimmed on exit, but JAX_DEBUG_NANS (CI tier A2) traps them
+    st_p = stk2(st10)
+    if n_pad != N:
+        st_p = st_p.reshape(10, n_pad).at[3:6, N:].set(1.0).reshape(
+            10, rows, kc.LANES)
     ins = [
-        # pad d with 1.0: a zero direction makes a2 = d.d = 0 and the
-        # sphere-adjoint divisions spray inf/NaN over PADDED lanes —
-        # trimmed on exit, but JAX_DEBUG_NANS (CI tier A2) traps them
-        stk([st10[c] for c in range(10)],
-            fills=[0, 0, 0, 1.0, 1.0, 1.0, 0, 0, 0, 0]),
+        st_p,
         kc.to_tiles(sg(j_enc), n_pad, fill=-1),
-        stk([recf[c] for c in range(8)]),
-        stk([mr21[c] for c in range(21)]),
-        stk([sg(srow).T[c] for c in range(8)]),
-        stk([sg(qrow).T[c] for c in range(19)]),
+        stk2(recf),
+        stk2(mr21),
+        stk2(srow),
+        stk2(qrow),
         kc.to_tiles(bk, n_pad),
         kc.to_tiles(sg(tm), n_pad),
-        stk(list(go2) + list(gd2) + list(gtp2) + list(gpix)),
+        stk2(gcar),
     ]
     specs = [spec(10), pl.BlockSpec((tr, kc.LANES), lambda i: (i, 0),
                                     memory_space=pltpu.VMEM),
@@ -165,14 +165,10 @@ def bounce_bwd_tiles(st10, j_enc, recf, mrf, mri, srow, qrow, bk, tm,
         interpret=kc.interpret() if interpret is None else interpret,
     )(misc, *ins)
 
-    def un(x, K):
-        return [kc.from_tiles(x[i], N) for i in range(K)]
-
-    a = un(a, 11)
-    b = un(b, 6)
-    c = un(c, 45)
-    go, gd, gtp = tuple(a[0:3]), tuple(a[3:6]), tuple(a[6:9])
-    gtm, gdark = a[9], a[10]
-    gimg, grnm = tuple(b[0:3]), tuple(b[3:6])
-    gmrf, gsr, gqr = c[0:18], c[18:26], c[26:45]
-    return go, gd, gtp, gtm, gimg, grnm, gmrf, gsr, gqr, gdark
+    # un-tile each stack with ONE reshape+slice (not 62 separate
+    # from_tiles ops — per-array glue measured ~7 ms/sample of the
+    # backward before this)
+    a = a.reshape(11, n_pad)[:, :N]
+    b = b.reshape(6, n_pad)[:, :N]
+    c = c.reshape(45, n_pad)[:, :N]
+    return a, b, c

@@ -492,15 +492,28 @@ def bounce_bwd(o, d, tp, active, tm, bk, j_enc, img, rnm, ptex, pnm,
 # reverse-scan driver
 # ---------------------------------------------------------------------------
 
-def _onehot_accum(acc, idx, rows):
-    """acc [K, C] += onehot(idx)^T @ rows  (rows: list of C [N] columns).
-    Exact: one-hot entries are 0/1 (integrator._rows rationale)."""
-    K = acc.shape[0]
+def _onehot_accum(acc_t, idx, rows):
+    """acc_t [C, K] += rows [C, N] @ onehot [N, K] — the TRANSPOSED
+    accumulator layout lets both the stack (axis 0 concat of [N] rows)
+    and the matmul run without a single relayout; the caller transposes
+    the small [C, K] result once at the end. Exact: one-hot entries are
+    0/1 (integrator._rows rationale)."""
+    K = acc_t.shape[1]
     oh = (idx[:, None] == jnp.arange(K, dtype=idx.dtype)[None, :]
           ).astype(jnp.float32)                                  # [N, K]
-    r = jnp.stack(rows, axis=1)                                  # [N, C]
-    return acc + jnp.dot(oh.T, r, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
+    return acc_t + jnp.dot(rows, oh, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+
+
+def _rows_t(table, idx):
+    """integrator._rows with a TRANSPOSED [C, N] result: table.T [C, K]
+    @ onehot_t [K, N] — produces the planar row-major layout the bounce
+    kernels consume with no relayout (same 0/1-exactness argument)."""
+    K = table.shape[0]
+    oh_t = (jnp.arange(K, dtype=idx.dtype)[:, None] == idx[None, :]
+            ).astype(table.dtype)                                # [K, N]
+    return jnp.dot(table.T, oh_t, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 def replay_backward(scene, cfg, o, d, time, keys, rec, states, g):
@@ -539,30 +552,38 @@ def replay_backward(scene, cfg, o, d, time, keys, rec, states, g):
     if ref:
         gp = tuple(x / jnp.float32(B) for x in gp)   # _finish /B quirk
 
+    matif = mati.astype(jnp.float32)   # values < 2^24, exact in f32
+
     def rows_for(j_enc):
         j = jnp.maximum(j_enc, 0)
         js = jnp.clip(j, 0, S - 1)
         jq = jnp.clip(j - S, 0, Q - 1)
-        srow = I._rows(sph_pack, js)
-        qrow = I._rows(quad_pack, jq)
-        mid = jnp.where(j < S, srow[:, 7], qrow[:, 18]).astype(jnp.int32)
-        mrf = I._rows(matf, mid)
-        mri = I._rows_i(mati, mid)
+        srow = _rows_t(sph_pack, js)                         # [8, N]
+        qrow = _rows_t(quad_pack, jq)                        # [19, N]
+        mid = jnp.where(j < S, srow[7], qrow[18]).astype(jnp.int32)
+        mrf = _rows_t(matf, mid)                             # [18, N]
+        mri = _rows_t(matif, mid)                            # [16, N]
         return js, jq, mid, srow, qrow, mrf, mri
 
     from tracer.kernels import common as kcommon
     use_k = kcommon.use_kernels(cfg)
 
-    def run_bounce(st10, reci, recf, b, go2, gd2, gtp2, last):
+    def run_bounce(st10, reci, recf, b, gcar, last):
+        """gcar [12, N]: go2(3), gd2(3), gtp2(3), gpix(3). Returns the
+        STACKED adjoint blocks (a [11, N]: go, gd, gtp, gtm, gdark;
+        bb [6, N]: gimg, grnm; cc [45, N]: gmrf, gsrow, gqrow) plus
+        (js, jq, mid) — everything stays in block form so the reverse
+        scan runs with no per-array packing glue."""
         j_enc = reci[0]
         bk = jax.lax.bitcast_convert_type(rng.salted(keys, b), jnp.int32)
         js, jq, mid, srow, qrow, mrf, mri = rows_for(j_enc)
         n_rem = (B - b).astype(jnp.float32)
         if use_k:
             from tracer.kernels import shade_bwd as kbwd
-            out = kbwd.bounce_bwd_tiles(
-                st10, j_enc, recf, mrf, mri, srow, qrow, bk, time,
-                go2, gd2, gtp2, gp, n_rem, dark, S=S, Q=Q, ref=ref,
+            mr21 = jnp.concatenate([mrf, mri[0:1], mri[7:8], mri[8:9]])
+            a, bb, cc = kbwd.bounce_bwd_tiles(
+                st10, j_enc, recf, mr21, srow, qrow, bk, time,
+                gcar, n_rem, dark, S=S, Q=Q, ref=ref,
                 eps=eps, has_pair=has_pair, last=last)
         else:
             o_b = (st10[0], st10[1], st10[2])
@@ -572,52 +593,63 @@ def replay_backward(scene, cfg, o, d, time, keys, rec, states, g):
             img = (recf[0], recf[1], recf[2])
             rnm = (recf[3], recf[4], recf[5])
             ptex, pnm = recf[6], recf[7]
-            out = bounce_bwd(
+            (go, gd, gtp, gtm_b, gimg, grnm, gmrf_b, gsr_b, gqr_b,
+             gdark_b) = bounce_bwd(
                 o_b, d_b, tp_b, active, time, bk, j_enc, img, rnm, ptex,
-                pnm, [mrf[:, c] for c in range(18)], mri[:, 0],
-                mri[:, 7], mri[:, 8], [srow[:, c] for c in range(8)],
-                [qrow[:, c] for c in range(19)],
-                go2, gd2, gtp2, gp, S=S, Q=Q, ref=ref, eps=eps,
-                n_rem=n_rem, dark=dark, has_pair=has_pair, last=last)
-        return out + (js, jq, mid)
-
-    z = jnp.zeros(N, jnp.float32)
-    z3 = (z, z, z)
-    zi = jnp.zeros(N, jnp.int32)
+                pnm, [mrf[c] for c in range(18)],
+                mri[0].astype(jnp.int32), mri[7].astype(jnp.int32),
+                mri[8].astype(jnp.int32), [srow[c] for c in range(8)],
+                [qrow[c] for c in range(19)],
+                (gcar[0], gcar[1], gcar[2]),
+                (gcar[3], gcar[4], gcar[5]),
+                (gcar[6], gcar[7], gcar[8]),
+                (gcar[9], gcar[10], gcar[11]), S=S, Q=Q, ref=ref,
+                eps=eps, n_rem=n_rem, dark=dark, has_pair=has_pair,
+                last=last)
+            a = jnp.stack(list(go) + list(gd) + list(gtp)
+                          + [gtm_b, gdark_b])
+            bb = jnp.stack(list(gimg) + list(grnm))
+            cc = jnp.stack(list(gmrf_b) + list(gsr_b) + list(gqr_b))
+        return a, bb, cc, js, jq, mid
 
     # ---- last (unrolled) bounce: input state is the scan's final carry
     reci_l, recf_l, _ = rec_last
-    (go_c, gd_c, gtp_c, gtm, gimg_l, grnm_l, gmrf_l, gsr_l, gqr_l,
-     gdark, js_l, jq_l, mid_l) = run_bounce(
-        jnp.stack(st_last), reci_l, recf_l, jnp.int32(B - 1),
-        z3, z3, z3, True)
-    gmatf = _onehot_accum(jnp.zeros((M, 18), jnp.float32), mid_l, gmrf_l)
-    gsph = _onehot_accum(jnp.zeros((S, 8), jnp.float32), js_l, gsr_l)
-    gquad = _onehot_accum(jnp.zeros((Q, 19), jnp.float32), jq_l, gqr_l)
-    gdark_t = jnp.sum(gdark)
+    gcar0 = jnp.concatenate([jnp.zeros((9, N), jnp.float32),
+                             jnp.stack(gp)])
+    a, _, cc, js_l, jq_l, mid_l = run_bounce(
+        jnp.stack(st_last), reci_l, recf_l, jnp.int32(B - 1), gcar0,
+        True)
+    gmatf = _onehot_accum(jnp.zeros((18, M), jnp.float32), mid_l,
+                          cc[0:18])
+    gsph = _onehot_accum(jnp.zeros((8, S), jnp.float32), js_l, cc[18:26])
+    gquad = _onehot_accum(jnp.zeros((19, Q), jnp.float32), jq_l,
+                          cc[26:45])
+    gcar = jnp.concatenate([a[0:9], gcar0[9:12]])
+    gtm = a[9]
+    gdark_t = jnp.sum(a[10])
 
-    # ---- reverse scan over bounces B-2 .. 0
+    # ---- reverse sweep over bounces B-2 .. 0. UNROLLED: B is small and
+    # a lax.scan's per-step xs slicing + Y stacking measured ~0.5 ms/
+    # bounce of pure overhead on top of the ~0.75 ms of real work
     reci_s, recf_s, _ = rec_scan
-
-    def body(carry, xs):
-        go2, gd2, gtp2, gtm, gmatf, gsph, gquad, gdark_t = carry
-        b, st10, reci, recf = xs
-        (go_c, gd_c, gtp_c, gtm_b, gimg, grnm, gmrf_b, gsr_b, gqr_b,
-         gdark_b, js, jq, mid) = run_bounce(st10, reci, recf, b,
-                                            go2, gd2, gtp2, False)
-        gmatf = _onehot_accum(gmatf, mid, gmrf_b)
-        gsph = _onehot_accum(gsph, js, gsr_b)
-        gquad = _onehot_accum(gquad, jq, gqr_b)
-        gtex_y = jnp.stack(list(gimg) + list(grnm) + [z, z])     # [8, N]
-        return ((go_c, gd_c, gtp_c, gtm + gtm_b, gmatf, gsph, gquad,
-                 gdark_t + jnp.sum(gdark_b)), gtex_y)
-
-    xs = (jnp.arange(B - 1, dtype=jnp.int32), st_scan, reci_s, recf_s)
-    carry0 = (go_c, gd_c, gtp_c, gtm, gmatf, gsph, gquad, gdark_t)
-    (go_c, gd_c, gtp_c, gtm, gmatf, gsph, gquad, gdark_t), gtex_rev = \
-        jax.lax.scan(body, carry0, xs, reverse=True)
+    gtex_list = [None] * (B - 1)
+    for b in range(B - 2, -1, -1):
+        a, bb, cc, js, jq, mid = run_bounce(
+            st_scan[b], reci_s[b], recf_s[b], jnp.int32(b), gcar, False)
+        gmatf = _onehot_accum(gmatf, mid, cc[0:18])
+        gsph = _onehot_accum(gsph, js, cc[18:26])
+        gquad = _onehot_accum(gquad, jq, cc[26:45])
+        gcar = jnp.concatenate([a[0:9], gcar[9:12]])
+        gtm = gtm + a[9]
+        gdark_t = gdark_t + jnp.sum(a[10])
+        gtex_list[b] = jnp.concatenate(
+            [bb, jnp.zeros((2, N), jnp.float32)])
+    gtex_rev = jnp.stack(gtex_list)
 
     # ---- map table cotangents back to scene fields --------------------
+    gmatf = gmatf.T                                              # [M, 18]
+    gsph = gsph.T                                                # [S, 8]
+    gquad = gquad.T                                              # [Q, 19]
     sph_oh = (scene.sph_mat[:, None] == jnp.arange(M)[None, :]
               ).astype(jnp.float32)                              # [S, M]
     quad_oh = (scene.quad_mat[:, None] == jnp.arange(M)[None, :]
@@ -649,8 +681,8 @@ def replay_backward(scene, cfg, o, d, time, keys, rec, states, g):
         dark_sky=gdark_t.astype(scene.dark_sky.dtype).reshape(
             scene.dark_sky.shape))
 
-    go = jnp.stack(go_c, axis=1)
-    gd = jnp.stack(gd_c, axis=1)
+    go = gcar[0:3].T
+    gd = gcar[3:6].T
     # last-bounce texel record is structurally zero in this class (its
     # fetch is statically skipped: L==0, no emissive TEX_IMAGE)
     gtex = (gtex_rev, jnp.zeros((8, N), jnp.float32))
