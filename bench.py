@@ -126,7 +126,7 @@ def main():
     dt_nt, _ = timeit(jax.jit(gsum_nt), gargs[:2] + gargs[3:], reps)
     rays_s_fwdbwd_nt = n_pix * spp / dt_nt
 
-    print(json.dumps({
+    out = {
         "metric": "primary_rays_per_s_fwd_cornell",
         "value": round(rays_s),
         "unit": "rays/s",
@@ -136,7 +136,30 @@ def main():
         "fwdbwd_no_texgrad_rays_per_s": round(rays_s_fwdbwd_nt),
         "config": f"{width}x{height}@{spp}spp b{cfg.max_bounces}",
         "device": str(jax.devices()[0]),
-    }))
+    }
+
+    # BENCH_SCENES=1: per-scene forward rays/s so the mesh-scene cliff is
+    # tracked round-over-round like Cornell (committed as
+    # BENCH_SCENES.json; off by default — each scene pays a full compile)
+    if os.environ.get("BENCH_SCENES"):
+        from tracer.scenes import zoo as _zoo
+        per_scene = {}
+        for name in ("flamingo", "raccoon", "backrooms_pool",
+                     "rt_in_a_weekend", "random_spheres"):
+            sc = compile_scene(_zoo.BY_NAME[name]())
+            cfg1 = dataclasses.replace(cfg, nsamples=1)
+
+            def frame1(scene, camera, pixel_ids, base_key, cfg1=cfg1):
+                acc = render_pixels(scene, camera, cfg1, width, height,
+                                    pixel_ids, 1, base_key)
+                return jnp.mean(acc)
+
+            dt1, _ = timeit(jax.jit(frame1),
+                            (sc, camera, pixel_ids, base_key), reps)
+            per_scene[name] = round(n_pix / dt1)
+        out["per_scene_fwd_rays_per_s"] = per_scene
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -425,7 +425,8 @@ def main(argv=None):
         sp.add_argument("--compat", default="reference",
                         choices=["reference", "physical"])
         sp.add_argument("--seed", type=int, default=0)
-        sp.add_argument("--bvh-leaf", type=int, default=4, dest="bvh_leaf",
+        sp.add_argument("--bvh-leaf", type=int, default=16,
+                        dest="bvh_leaf",
                         help="BVH leaf width (triangles per leaf)")
         sp.add_argument("--bvh-depth", type=int, default=64,
                         dest="bvh_depth", help="BVH max depth")

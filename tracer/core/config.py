@@ -20,8 +20,12 @@ class RenderConfig:
     max_bounces: int = 6        # MAXBOUNCES
     shadow_rays: int = 10       # NB_ECH
 
-    # Reference: src/Constants.h:15-16 (KD build params; our BVH analogues)
-    bvh_leaf_size: int = 4
+    # Reference: src/Constants.h:15-16 (KD build params; our BVH
+    # analogues — the reference uses 40 tris/leaf). 16 measured best for
+    # the packet walk on v5e: incoherent backrooms walks 235 -> 166 ms
+    # vs leaf 4 (benchmarks/walk_sort_exp.py) — per-node scalar overhead
+    # dominates, so fewer/fatter leaves win even with 4x the tri tests.
+    bvh_leaf_size: int = 16
     bvh_max_depth: int = 64
 
     # Reference: src/Constants.h:18

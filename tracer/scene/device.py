@@ -435,7 +435,7 @@ def _build_pair_atlas(mats, quad_rows, textures, normal_maps):
             jnp.asarray(tex_ok), jnp.asarray(nm_ok), True)
 
 
-def compile_scene(sb: B.SceneBuilder, leaf_width: int = 4,
+def compile_scene(sb: B.SceneBuilder, leaf_width: int = 16,
                   bvh_max_depth: int = 64, pad: int = 8,
                   use_native: bool = True) -> DeviceScene:
     """Lower a SceneBuilder to a DeviceScene. `use_native` prefers the C++
