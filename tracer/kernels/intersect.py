@@ -195,11 +195,13 @@ def _kernel(sph_ref, quad_ref, mesh_ref, *rest, S, Q, S_real,
             upd = ok & (t < best)
             best = jnp.where(upd, t, best)
             j = jnp.where(upd, s, j)
-            cache = upd_cache(cache, upd, [
-                cx, cy, cz, r, mx, my, mz,
-                0., 0., 0., 0., 0., 0., 0., 0., 0., 0., 0., 0., midf,
-                0., 0., 0., 0., 0., 0., 0., 0., 0.,
-                0., 0., 0., 0., 0., 0.])
+            # update ONLY the sphere slots (8 selects, not 35): stale
+            # quad/tex slots on sphere-winner lanes are gated off by the
+            # post-loop is_q masks — this is the 79-sphere scenes' hot
+            # spot (random_spheres: the candidate loop dominates)
+            for ci, v in zip((0, 1, 2, 3, 4, 5, 6, 19),
+                             (cx, cy, cz, r, mx, my, mz, midf)):
+                cache[ci] = jnp.where(upd, v, cache[ci])
             return best, j, tid, cache
 
         def quad_body(q, carry):
@@ -263,9 +265,9 @@ def _kernel(sph_ref, quad_ref, mesh_ref, *rest, S, Q, S_real,
             best = jnp.where(upd, t, best)
             j = jnp.where(upd, S + Q + m, j)
             tid = jnp.where(upd, trimesh_refs[m][:], tid)
-            cache = [jnp.where(upd, zero, c) for c in cache[:19]] \
-                + [jnp.where(upd, mesh_ref[m, 0], cache[19])] \
-                + [jnp.where(upd, zero, c) for c in cache[20:]]
+            # only the material id: mesh winners' p/n/u/v/tex outputs are
+            # all replaced or is_q-gated downstream (stale slots unused)
+            cache[19] = jnp.where(upd, mesh_ref[m, 0], cache[19])
 
         # ---- post-loop hit detail from the winner's cached params ------
         # sphere (sphere_hit_detail_planar)
@@ -330,17 +332,23 @@ def _kernel(sph_ref, quad_ref, mesh_ref, *rest, S, Q, S_real,
             # scenes with textured spheres are routed to the XLA path by
             # scene.sphere_uv_needed). Sphere/mesh winners carry an
             # all-zero cache -> row pair_off=0, sub 0, ptex=pnm=0.
+            # sphere/mesh winners may carry STALE quad tex slots (the
+            # candidate loops only write their own slots) — gate every
+            # tex output on is_q so they read as untextured, exactly as
+            # the old all-zero cache did
+            izero = jnp.zeros(ox.shape, jnp.int32)
             sx, sy = cache[20], cache[21]
             xa, ya = _staircase(uq, vq, sx, sy, cache[22], cache[23])
             xb, yb = _staircase(uq, vq, sx, sy, cache[24], cache[25])
             wc = cache[22].astype(jnp.int32) + jnp.maximum(
                 cache[24].astype(jnp.int32) - 1, 0)
             rel = (ya + yb) * wc + xa + xb
-            row_ref[:] = cache[26].astype(jnp.int32) \
-                + jax.lax.shift_right_logical(rel, 4)
-            sub_ref[:] = rel & 15
-            ptex_ref[:] = cache[27]
-            pnm_ref[:] = cache[28]
+            row_ref[:] = jnp.where(
+                is_q, cache[26].astype(jnp.int32)
+                + jax.lax.shift_right_logical(rel, 4), izero)
+            sub_ref[:] = jnp.where(is_q, rel & 15, izero)
+            ptex_ref[:] = jnp.where(is_q, cache[27], zero)
+            pnm_ref[:] = jnp.where(is_q, cache[28], zero)
             if tex_out >= 2:
                 # true atlas indices for the record path (the replay
                 # backward's texel-cotangent fold): same staircase as the
@@ -348,11 +356,13 @@ def _kernel(sph_ref, quad_ref, mesh_ref, *rest, S, Q, S_real,
                 xt, yt = _staircase(uq, vq, sx, sy, cache[30], cache[31])
                 it = cache[29].astype(jnp.int32) \
                     + yt * cache[30].astype(jnp.int32) + xt
-                idxt_ref[:] = jnp.clip(it, 0, p_tex - 1)
+                idxt_ref[:] = jnp.where(is_q,
+                                        jnp.clip(it, 0, p_tex - 1), izero)
                 xn, yn = _staircase(uq, vq, sx, sy, cache[33], cache[34])
                 inn = cache[32].astype(jnp.int32) \
                     + yn * cache[33].astype(jnp.int32) + xn
-                idxn_ref[:] = jnp.clip(inn, 0, p_nm - 1)
+                idxn_ref[:] = jnp.where(is_q,
+                                        jnp.clip(inn, 0, p_nm - 1), izero)
         px_ref[:] = jnp.where(is_q, pqx, psx)
         py_ref[:] = jnp.where(is_q, pqy, psy)
         pz_ref[:] = jnp.where(is_q, pqz, psz)
