@@ -644,7 +644,8 @@ def replay_backward(scene, cfg, o, d, time, keys, rec, states, g):
         gdark_t = gdark_t + jnp.sum(a[10])
         gtex_list[b] = jnp.concatenate(
             [bb, jnp.zeros((2, N), jnp.float32)])
-    gtex_rev = jnp.stack(gtex_list)
+    gtex_rev = (jnp.stack(gtex_list) if gtex_list
+                else jnp.zeros((0, 8, N), jnp.float32))   # max_bounces=1
 
     # ---- map table cotangents back to scene fields --------------------
     gmatf = gmatf.T                                              # [M, 18]
