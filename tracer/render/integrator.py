@@ -1182,6 +1182,10 @@ def _trace_cv_bwd(cfg, res, g):
         from tracer.render import replay_bwd
         gscene, go, gd, gtime, gtex = replay_bwd.replay_backward(
             scene, cfg, o, d, time, keys, rec, states, g)
+        # (an optimization_barrier between the sweep and the fold was
+        # tried and measured neutral — unlike the record/replay boundary,
+        # the scheduler doesn't pessimize here, and a barrier would pin
+        # gtex alive for callers that never use atlas gradients)
     else:
         def replay(scene, o, d, time, texvals):
             return _trace_replay(scene, cfg, o, d, time, keys,
