@@ -16,7 +16,8 @@ PY ?= python
 
 FAST_TESTS = tests/test_math.py tests/test_primitives.py \
              tests/test_rng_twins.py tests/test_accel_native.py \
-             tests/test_film.py tests/test_kernels.py
+             tests/test_film.py tests/test_kernels.py \
+             tests/test_fold.py tests/test_camera_pose.py
 
 GOLDEN_TESTS = tests/test_golden_images.py
 
